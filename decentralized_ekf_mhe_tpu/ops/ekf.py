@@ -1,0 +1,228 @@
+"""Quaternion EKF for base orientation — fused TPU kernel.
+
+Re-designs the reference's 500 Hz orien_est node (src/orien_est/src/orien_ekf.cpp)
+as a pure-functional JAX kernel:
+
+- ``predict``       <- gyro_nonlinear_predict  (orien_ekf.cpp:108-123)
+- ``accel_correct`` <- gyro_nonlinear_correct  (orien_ekf.cpp:125-142), including
+  the (‖a‖/g)² scaling of the accelerometer covariance (:135-137).
+- ``vo_correct``    <- vo_nonlinear_correct    (orien_ekf.cpp:144-154), H = I₄.
+- ``tick``          <- timerCallback + get_measurement (orien_ekf.cpp:77-106,
+  156-212): ring-buffer history, delayed-VO rewind + trajectory replay.
+
+The reference's event-driven state rewind (std::upper_bound over timestamp
+stacks + forward replay, orien_ekf.cpp:175-205) becomes a fixed-shape masked
+rescan over a ring buffer: the host alignment pass (io/replay.py) precomputes,
+per tick, whether a VO quaternion arrived and how many discrete steps back its
+synchronization point lies; the kernel rewinds to the stored (q, P) at that
+slot and replays forward under `lax.fori_loop` with static trip count.
+
+Replay-length parity note: the reference replays ``rel - 1`` steps using the
+inputs stored at sync_idx .. sync_idx+rel-2 and applies the VO correction after
+the first replayed accel correction (orien_ekf.cpp:191-205); the current tick's
+own predict/correct then runs on top (timerCallback :82-83). The skipped
+(t-1)-input step is reproduced faithfully.
+
+All functions broadcast over leading batch axes and are scan/vmap/jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from decentralized_ekf_mhe_tpu.config import EKFParams, std_to_cov
+from decentralized_ekf_mhe_tpu.utils import quaternion as quat
+
+GRAVITY = 9.81  # orien_ekf.cpp:11 — gravity_ = (0, 0, 9.81)
+
+
+class EKFConsts(NamedTuple):
+    """Static per-run constants (covariances, dt) as jnp arrays."""
+
+    dt: jnp.ndarray           # scalar
+    C_gyro: jnp.ndarray       # (3,3)   process_std²   (orien_ekf.cpp:28)
+    C_accel: jnp.ndarray      # (3,3)   gravity_meas_std² (:29)
+    C_vo: jnp.ndarray         # (4,4)   vo_meas_std²   (:30)
+    gravity: jnp.ndarray      # (3,)    (0,0,9.81)
+    quirk_W: bool             # reference-compat process-noise Jacobian
+
+
+class EKFState(NamedTuple):
+    """Filter carry: current estimate + fixed-length history ring.
+
+    The ring stores, per slot, the inputs and the *pre-tick* filter state —
+    mirroring the stacks pushed at the top of get_measurement
+    (orien_ekf.cpp:158-163) before the tick's predict/correct runs.
+    """
+
+    q: jnp.ndarray            # (4,)
+    P: jnp.ndarray            # (4,4)
+    t: jnp.ndarray            # scalar int32 discrete time
+    gyro_hist: jnp.ndarray    # (R,3)
+    accel_hist: jnp.ndarray   # (R,3)
+    q_hist: jnp.ndarray       # (R,4)
+    P_hist: jnp.ndarray       # (R,4,4)
+
+
+def make_consts(params: EKFParams, dtype=jnp.float32) -> EKFConsts:
+    return EKFConsts(
+        dt=jnp.asarray(params.dt, dtype),
+        C_gyro=jnp.asarray(std_to_cov(params.process_std), dtype),
+        C_accel=jnp.asarray(std_to_cov(params.gravity_meas_std), dtype),
+        C_vo=jnp.asarray(std_to_cov(params.vo_meas_std), dtype),
+        gravity=jnp.asarray([0.0, 0.0, GRAVITY], dtype),
+        quirk_W=params.quirk_compatible_W,
+    )
+
+
+def init_state(params: EKFParams, ring_len: int = 64, dtype=jnp.float32) -> EKFState:
+    q0 = jnp.asarray(params.quaternion_init, dtype)
+    P0 = jnp.asarray(std_to_cov(params.init_std), dtype)
+    return EKFState(
+        q=q0,
+        P=P0,
+        t=jnp.asarray(0, jnp.int32),
+        gyro_hist=jnp.zeros((ring_len, 3), dtype),
+        accel_hist=jnp.zeros((ring_len, 3), dtype),
+        q_hist=jnp.tile(q0, (ring_len, 1)),
+        P_hist=jnp.tile(P0, (ring_len, 1, 1)),
+    )
+
+
+def predict(q, P, gyro, c: EKFConsts):
+    """q⁺ = norm((I + dt/2 Ω)q), P⁺ = FPFᵀ + W C_gyro Wᵀ (orien_ekf.cpp:108-123)."""
+    F = jnp.eye(4, dtype=q.dtype) + (c.dt / 2) * quat.gyro_to_omega(gyro)
+    W = quat.quat_to_W(q, c.dt, quirk_compatible=c.quirk_W)
+    q_pred = quat.normalize(F @ q)
+    P_pred = F @ P @ F.T + W @ c.C_gyro @ W.T
+    return q_pred, P_pred
+
+
+def accel_correct(q, P, accel, c: EKFConsts):
+    """Gravity-direction correction with ‖a‖-scaled covariance (orien_ekf.cpp:125-142)."""
+    R = quat.to_rot(q)
+    accel_hat = R.T @ c.gravity
+    H = quat.quat_to_H(q, c.gravity)
+    rel = jnp.linalg.norm(accel) / GRAVITY
+    S = H @ P @ H.T + (rel * rel) * c.C_accel
+    K = P @ H.T @ jnp.linalg.inv(S)
+    q_new = quat.normalize(q + K @ (accel - accel_hat))
+    P_new = (jnp.eye(4, dtype=q.dtype) - K @ H) @ P
+    return q_new, P_new
+
+
+def vo_correct(q, P, q_vo, c: EKFConsts):
+    """Full-quaternion VO correction, H = I₄ (orien_ekf.cpp:144-154)."""
+    S = P + c.C_vo
+    K = P @ jnp.linalg.inv(S)
+    q_new = quat.normalize(q + K @ (q_vo - q))
+    P_new = (jnp.eye(4, dtype=q.dtype) - K) @ P
+    return q_new, P_new
+
+
+def _replay(state: EKFState, q_vo, steps_back, c: EKFConsts):
+    """Rewind to the sync slot and replay forward (orien_ekf.cpp:186-205).
+
+    ``steps_back`` = current discrete time − sync discrete time (≥ 1). The
+    reference replays steps_back−1 input steps starting at the sync slot and
+    VO-corrects right after the first replayed accel correction.
+    """
+    R = state.gyro_hist.shape[0]
+    sync_slot = jnp.mod(state.t - steps_back, R)
+    q0 = state.q_hist[sync_slot]
+    P0 = state.P_hist[sync_slot]
+
+    def body(i, carry):
+        q, P = carry
+
+        def do_step(q, P):
+            slot = jnp.mod(sync_slot + i, R)
+            qp, Pp = predict(q, P, state.gyro_hist[slot], c)
+            qc, Pc = accel_correct(qp, Pp, state.accel_hist[slot], c)
+
+            def with_vo(q_, P_):
+                return vo_correct(q_, P_, q_vo, c)
+
+            return jax.lax.cond(i == 0, with_vo, lambda q_, P_: (q_, P_), qc, Pc)
+
+        return jax.lax.cond(i < steps_back - 1, do_step, lambda q_, P_: (q_, P_), q, P)
+
+    q_new, P_new = jax.lax.fori_loop(0, R, body, (q0, P0))
+    return q_new, P_new
+
+
+def tick(
+    state: EKFState,
+    gyro: jnp.ndarray,
+    accel: jnp.ndarray,
+    vo_active,
+    q_vo: jnp.ndarray,
+    vo_steps_back,
+    c: EKFConsts,
+) -> EKFState:
+    """One 500 Hz EKF tick (timerCallback, orien_ekf.cpp:77-106).
+
+    Order of operations matches the reference exactly:
+      1. push (gyro, accel, q, P) to the history ring   (get_measurement :158-163)
+      2. if a VO quaternion arrived: rewind + replay    (:165-205)
+      3. predict from gyro, correct from accelerometer  (:82-83)
+
+    ``vo_active``/``vo_steps_back`` come from the host alignment pass; passing
+    them as *unbatched* log-driven scalars keeps `lax.cond` a true branch even
+    when the carry is vmapped over instances.
+    """
+    R = state.gyro_hist.shape[0]
+    # state.t is the discrete time of THIS tick; the pushed slot holds the
+    # inputs of tick t and the filter state entering tick t.
+    slot = jnp.mod(state.t, R)
+    gyro_hist = state.gyro_hist.at[slot].set(gyro)
+    accel_hist = state.accel_hist.at[slot].set(accel)
+    q_hist = state.q_hist.at[slot].set(state.q)
+    P_hist = state.P_hist.at[slot].set(state.P)
+    state = state._replace(
+        gyro_hist=gyro_hist, accel_hist=accel_hist, q_hist=q_hist, P_hist=P_hist
+    )
+
+    # Delayed-VO trajectory replay. Guard: sync point must exist in the ring
+    # and be at least one step back (reference discards the measurement
+    # otherwise, orien_ekf.cpp:178-183 — that discard happens in alignment).
+    valid = jnp.logical_and(
+        jnp.asarray(vo_active, bool),
+        jnp.logical_and(
+            vo_steps_back >= 1,
+            jnp.logical_and(vo_steps_back <= state.t, vo_steps_back < R),
+        ),
+    )
+    q, P = jax.lax.cond(
+        valid,
+        lambda: _replay(state, q_vo, vo_steps_back, c),
+        lambda: (state.q, state.P),
+    )
+
+    q_pred, P_pred = predict(q, P, gyro, c)
+    q_corr, P_corr = accel_correct(q_pred, P_pred, accel, c)
+    return state._replace(q=q_corr, P=P_corr, t=state.t + 1)
+
+
+def run_sequence(
+    state: EKFState,
+    gyro_seq: jnp.ndarray,       # (T,3)
+    accel_seq: jnp.ndarray,      # (T,3)
+    vo_active_seq: jnp.ndarray,  # (T,) bool
+    q_vo_seq: jnp.ndarray,       # (T,4)
+    vo_steps_back_seq: jnp.ndarray,  # (T,) int32
+    c: EKFConsts,
+):
+    """Scan ``tick`` over a pre-aligned log; returns final state + (T,4) quats."""
+
+    def step(s, x):
+        gyro, accel, va, qvo, sb = x
+        s = tick(s, gyro, accel, va, qvo, sb, c)
+        return s, s.q
+
+    return jax.lax.scan(
+        step, state, (gyro_seq, accel_seq, vo_active_seq, q_vo_seq, vo_steps_back_seq)
+    )

@@ -1,0 +1,25 @@
+"""Test harness config: CPU backend, 8 virtual devices, float64 enabled.
+
+Something on this image's pytest import chain already imports jax before
+conftest runs, so plain env vars are too late; jax.config updates still work
+as long as no backend has been initialized. The session env pre-sets
+JAX_PLATFORMS=axon (TPU tunnel) — slow per-dispatch and float64-free — so
+tests force the CPU backend and validate numerics against the numpy float64
+oracle at tight tolerance (the reference C++ is all double). Multi-chip
+sharding logic is exercised on 8 virtual CPU devices (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
