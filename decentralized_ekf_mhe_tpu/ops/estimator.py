@@ -72,20 +72,95 @@ def run_kf(
     x0 = state.x
     v0 = kf.body_velocity(state.x, d0.R_sb, d0.omega_b, lever)
 
-    def step(state, d: TickData):
-        accel_s = assembly.spatial_accel(d.R_sb, d.accel_b, nc)
+    # UpdateKF reads R/accel_s/contact from the stacks *before* GetMeasurement
+    # pushes the current tick (DecentralEst.cpp:707-709, 766) — prediction at
+    # tick T uses the inputs of tick T−1, correction uses tick T.
+    prev0 = (d0.R_sb, assembly.spatial_accel(d0.R_sb, d0.accel_b, nc), d0.contact)
+
+    def step(carry, d: TickData):
+        state, (R_prev, accel_s_prev, contact_prev) = carry
         A_dyn, b_dyn, C_dyn, _ = assembly.build_dynamics(
-            params, nc, d.R_sb, accel_s, d.contact
+            params, nc, R_prev, accel_s_prev, contact_prev
         )
         b_meas, C_meas, _ = assembly.build_measurement(
             params, nc, d.R_sb, d.omega_b, d.p_foot, d.J_foot, d.dq, d.contact
         )
         state = kf.update(state, A_dyn, b_dyn, C_dyn, A_meas, b_meas, C_meas)
         v_b = kf.body_velocity(state.x, d.R_sb, d.omega_b, lever)
-        return state, (state.x, v_b)
+        prev = (d.R_sb, assembly.spatial_accel(d.R_sb, d.accel_b, nc), d.contact)
+        return (state, prev), (state.x, v_b)
 
     rest = jax.tree.map(lambda a: a[1:], data)
-    _, (x_seq, v_seq) = jax.lax.scan(step, state, rest)
+    _, (x_seq, v_seq) = jax.lax.scan(step, (state, prev0), rest)
+    x_seq = jnp.concatenate([x0[None], x_seq], axis=0)
+    v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
+    return x_seq, v_seq
+
+
+class VOData(NamedTuple):
+    """Per-tick VO event stream (time-leading), from the alignment pass."""
+
+    active: jnp.ndarray    # (T,) bool
+    dp_body: jnp.ndarray   # (T,3)
+    tick_pre: jnp.ndarray  # (T,) int32
+    tick_now: jnp.ndarray  # (T,) int32
+
+
+def vodata_from_log(log, dtype=jnp.float64) -> VOData:
+    return VOData(
+        active=jnp.asarray(log.vo_active),
+        dp_body=jnp.asarray(log.vo_dp_body, dtype),
+        tick_pre=jnp.asarray(log.vo_tick_pre, jnp.int32),
+        tick_now=jnp.asarray(log.vo_tick_now, jnp.int32),
+    )
+
+
+def run_mhe(
+    params: EstimatorParams,
+    data: TickData,
+    vo: Optional[VOData] = None,
+    lever_arm=kf.DEFAULT_LEVER_ARM,
+    dtype=jnp.float64,
+):
+    """Replay the MHE (est_type=0) over a log: init at tick 0, then one
+    mhe.step per tick (the timerCallback dispatch, EstSub.cpp:58-91).
+
+    Returns (x_seq (T,s), v_b_seq (T,3)). x_seq[0] is the prior+measurement
+    solve at tick 0 (the reference does not publish an estimate at T=0; this
+    slot is provided for completeness).
+    """
+    from decentralized_ekf_mhe_tpu.ops import mhe
+
+    c = mhe.make_consts(params, dtype)
+    lever = jnp.asarray(lever_arm, dtype)
+    T_total = data.accel_b.shape[0]
+    if vo is None:
+        vo = VOData(
+            active=jnp.zeros(T_total, bool),
+            dp_body=jnp.zeros((T_total, 3), dtype),
+            tick_pre=jnp.zeros(T_total, jnp.int32),
+            tick_now=jnp.zeros(T_total, jnp.int32),
+        )
+    R_seq = data.R_sb
+
+    d0 = jax.tree.map(lambda a: a[0], data)
+    st = mhe.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot, d0.J_foot,
+                  d0.dq, d0.contact, dtype=dtype)
+    x0_win = mhe.solve_window(c, st)
+    x0 = x0_win[..., c.N - 1, :]
+    v0 = kf.body_velocity(x0, d0.R_sb, d0.omega_b, lever)
+
+    def scan_step(st, inp):
+        d, v = inp
+        st, (x_T, _) = mhe.step(
+            c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
+            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_seq,
+        )
+        v_b = kf.body_velocity(x_T, d.R_sb, d.omega_b, lever)
+        return st, (x_T, v_b)
+
+    rest = jax.tree.map(lambda a: a[1:], (data, vo))
+    _, (x_seq, v_seq) = jax.lax.scan(scan_step, st, rest)
     x_seq = jnp.concatenate([x0[None], x_seq], axis=0)
     v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
     return x_seq, v_seq

@@ -158,10 +158,19 @@ class RefKF:
         b0, C0m, _ = self.asm.measurement(R, omega, p_foot, J_foot, dq, contact)
         self.x, self.C, _ = self.asm.prior(b0)
         self._correct(b0, C0m)
+        self.prev = (R, None, contact)
 
-    def update(self, R, accel_s, omega, p_foot, J_foot, dq, contact):
-        A, b, C_dyn, _ = self.asm.dynamics(R, accel_s, contact)
+    def update(self, R, accel_b, omega, p_foot, J_foot, dq, contact):
+        # prediction uses the PREVIOUS tick's R/accel_s/contact — UpdateKF
+        # reads the stacks before GetMeasurement pushes the current tick
+        # (DecentralEst.cpp:707-709, 766)
+        R_prev, accel_s_prev, contact_prev = self.prev
+        A, b, C_dyn, _ = self.asm.dynamics(R_prev, accel_s_prev, contact_prev)
         self.x = A @ self.x - b
         self.C = A @ self.C @ A.T + C_dyn
         bm, Cm, _ = self.asm.measurement(R, omega, p_foot, J_foot, dq, contact)
         self._correct(bm, Cm)
+        self.push(R, accel_b, contact)
+
+    def push(self, R, accel_b, contact):
+        self.prev = (R, R @ accel_b + G_S, contact)

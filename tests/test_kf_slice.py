@@ -72,9 +72,9 @@ def _run_oracle_kf(p, log, T):
         if k == 0:
             ref.init(R, log.omega_b[k], log.p_foot[k], log.J_foot[k],
                      log.dq[k], log.contact[k])
+            ref.push(R, log.accel_b[k], log.contact[k])
         else:
-            accel_s = R @ log.accel_b[k] + G_S
-            ref.update(R, accel_s, log.omega_b[k], log.p_foot[k],
+            ref.update(R, log.accel_b[k], log.omega_b[k], log.p_foot[k],
                        log.J_foot[k], log.dq[k], log.contact[k])
         xs.append(ref.x.copy())
     return np.stack(xs)
