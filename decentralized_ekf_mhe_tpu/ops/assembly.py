@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from decentralized_ekf_mhe_tpu.config import EstimatorParams, std_to_cov, std_to_gain
+from decentralized_ekf_mhe_tpu.ops import smallmat
 from decentralized_ekf_mhe_tpu.utils.quaternion import skew
 
 GRAVITY_S = np.array([0.0, 0.0, -9.81])  # DecentralEst.cpp:27
@@ -155,7 +156,7 @@ def build_dynamics(
     C_pv = C_pv.at[..., 0:3, 0:3].set(nc.C_p)
     C_pv = C_pv.at[..., 3:6, 3:6].set(nc.C_accel)
     C_pv_full = G_pv @ C_pv @ jnp.swapaxes(G_pv, -1, -2)
-    Q_pv = jnp.linalg.inv(C_pv_full)
+    Q_pv = smallmat.gj_inv(C_pv_full)
 
     C = jnp.zeros(batch + (s, s), dtype)
     Q = jnp.zeros(batch + (s, s), dtype)
@@ -221,7 +222,7 @@ def build_measurement(
             Cblk = Cblk.at[..., 3:6, 3:6].set(nc.C_enc_pos)
             Cblk = Cblk.at[..., 6:9, 6:9].set(nc.C_gyro)
             C_stance = R_sb @ (G @ Cblk @ jnp.swapaxes(G, -1, -2)) @ RT
-            Q_stance = jnp.linalg.inv(C_stance)
+            Q_stance = smallmat.inv3(C_stance)
             ci = contact[..., i][..., None, None]
             C = C.at[..., sl, sl].set(jnp.where(ci > 0, C_stance, nc.C_foot_swing))
             Q = Q.at[..., sl, sl].set(jnp.where(ci > 0, Q_stance, nc.Q_foot_swing))
@@ -234,7 +235,7 @@ def build_measurement(
             C_i = R_sb @ (Ji @ nc.C_enc_pos @ jnp.swapaxes(Ji, -1, -2)) @ RT
             # reference computes Q via the *unrotated* inner inverse:
             # R·(J C Jᵀ)⁻¹·Rᵀ (DecentralEst.cpp:556-561) == (R J C Jᵀ Rᵀ)⁻¹
-            Q_i = R_sb @ jnp.linalg.inv(Ji @ nc.C_enc_pos @ jnp.swapaxes(Ji, -1, -2)) @ RT
+            Q_i = R_sb @ smallmat.inv3(Ji @ nc.C_enc_pos @ jnp.swapaxes(Ji, -1, -2)) @ RT
             C = C.at[..., sl, sl].set(C_i)
             Q = Q.at[..., sl, sl].set(Q_i)
     else:

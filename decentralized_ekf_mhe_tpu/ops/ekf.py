@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from decentralized_ekf_mhe_tpu.config import EKFParams, std_to_cov
+from decentralized_ekf_mhe_tpu.ops import smallmat
 from decentralized_ekf_mhe_tpu.utils import quaternion as quat
+from decentralized_ekf_mhe_tpu.utils.precision import full_precision
 
 GRAVITY = 9.81  # orien_ekf.cpp:11 — gravity_ = (0, 0, 9.81)
 
@@ -108,7 +110,7 @@ def accel_correct(q, P, accel, c: EKFConsts):
     H = quat.quat_to_H(q, c.gravity)
     rel = jnp.linalg.norm(accel) / GRAVITY
     S = H @ P @ H.T + (rel * rel) * c.C_accel
-    K = P @ H.T @ jnp.linalg.inv(S)
+    K = P @ H.T @ smallmat.inv3(S)
     q_new = quat.normalize(q + K @ (accel - accel_hat))
     P_new = (jnp.eye(4, dtype=q.dtype) - K @ H) @ P
     return q_new, P_new
@@ -117,7 +119,7 @@ def accel_correct(q, P, accel, c: EKFConsts):
 def vo_correct(q, P, q_vo, c: EKFConsts):
     """Full-quaternion VO correction, H = I₄ (orien_ekf.cpp:144-154)."""
     S = P + c.C_vo
-    K = P @ jnp.linalg.inv(S)
+    K = P @ smallmat.gj_inv(S)
     q_new = quat.normalize(q + K @ (q_vo - q))
     P_new = (jnp.eye(4, dtype=q.dtype) - K) @ P
     return q_new, P_new
@@ -154,6 +156,7 @@ def _replay(state: EKFState, q_vo, steps_back, c: EKFConsts):
     return q_new, P_new
 
 
+@full_precision
 def tick(
     state: EKFState,
     gyro: jnp.ndarray,
@@ -207,6 +210,7 @@ def tick(
     return state._replace(q=q_corr, P=P_corr, t=state.t + 1)
 
 
+@full_precision
 def run_sequence(
     state: EKFState,
     gyro_seq: jnp.ndarray,       # (T,3)

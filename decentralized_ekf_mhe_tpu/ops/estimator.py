@@ -21,6 +21,7 @@ import numpy as np
 from decentralized_ekf_mhe_tpu.config import EstimatorParams
 from decentralized_ekf_mhe_tpu.ops import assembly, kf
 from decentralized_ekf_mhe_tpu.utils import quaternion as quat
+from decentralized_ekf_mhe_tpu.utils.precision import full_precision
 
 
 class TickData(NamedTuple):
@@ -49,6 +50,7 @@ def tickdata_from_log(log, R_sb=None, dtype=jnp.float64) -> TickData:
     )
 
 
+@full_precision
 def run_kf(
     params: EstimatorParams,
     data: TickData,
@@ -115,6 +117,7 @@ def vodata_from_log(log, dtype=jnp.float64) -> VOData:
     )
 
 
+@full_precision
 def run_mhe(
     params: EstimatorParams,
     data: TickData,
@@ -166,6 +169,7 @@ def run_mhe(
     return x_seq, v_seq
 
 
+@full_precision
 def ekf_orientation_sequence(params_ekf, log, dtype=jnp.float64):
     """Run the orientation EKF over the log's EKF-rate stream and sample the
     fused quaternion at each MHE tick (the imu/filter -> est_sub handoff,

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from decentralized_ekf_mhe_tpu.config import EstimatorParams
-from decentralized_ekf_mhe_tpu.ops import assembly
+from decentralized_ekf_mhe_tpu.ops import assembly, smallmat
 
 
 class KFState(NamedTuple):
@@ -27,7 +27,7 @@ def _correct(x, C, A_meas, b_meas, C_meas):
     (DecentralEst.cpp:697-699, 858-860)."""
     s = x.shape[-1]
     S = A_meas @ C @ jnp.swapaxes(A_meas, -1, -2) + C_meas
-    K = C @ jnp.swapaxes(A_meas, -1, -2) @ jnp.linalg.inv(S)
+    K = C @ jnp.swapaxes(A_meas, -1, -2) @ smallmat.gj_inv(S)
     innov = b_meas - jnp.einsum("...ij,...j->...i", A_meas, x)
     x_new = x + jnp.einsum("...ij,...j->...i", K, innov)
     C_new = (jnp.eye(s, dtype=x.dtype) - K @ A_meas) @ C

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from decentralized_ekf_mhe_tpu.config import EstimatorParams, std_to_gain
-from decentralized_ekf_mhe_tpu.ops import assembly, bezier, tridiag
+from decentralized_ekf_mhe_tpu.ops import assembly, bezier, smallmat, tridiag
+from decentralized_ekf_mhe_tpu.utils.precision import full_precision
 
 
 class MHEConsts(NamedTuple):
@@ -101,6 +102,7 @@ def _params_view(c: MHEConsts) -> EstimatorParams:
     return p
 
 
+@full_precision
 def init(
     c: MHEConsts,
     R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact,
@@ -181,8 +183,9 @@ def _marginalize(c: MHEConsts, st: MHEState):
     l1 = jnp.einsum("...ij,...j->...i", Qd, b) + act_v * jnp.einsum(
         "...ij,...j->...i", PtQc, c0
     )
-    Sinv_C01 = jnp.linalg.solve(S, C01)
-    Sinv_l0 = jnp.linalg.solve(S, l0[..., None])[..., 0]
+    Sinv = smallmat.gj_inv(S)
+    Sinv_C01 = Sinv @ C01
+    Sinv_l0 = jnp.einsum("...ij,...j->...i", Sinv, l0)
     C01t = jnp.swapaxes(C01, -1, -2)
     M_new = D1 - C01t @ Sinv_C01
     n_new = l1 - jnp.einsum("...ij,...j->...i", C01t, Sinv_l0)
@@ -285,6 +288,7 @@ def assemble_normal_equations(c: MHEConsts, st: MHEState):
     return D, U, r, state_valid
 
 
+@full_precision
 def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
     """Solve the current window; returns (..., N, s) states (zeros on dead slots)."""
     D, U, r, valid = assemble_normal_equations(c, st)
@@ -296,6 +300,7 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
     return jnp.moveaxis(x, 0, -2)
 
 
+@full_precision
 def step(
     c: MHEConsts,
     st: MHEState,
@@ -314,6 +319,9 @@ def step(
     """
     N = c.N
     p = _params_view(c)
+    vo_dp = jnp.asarray(vo_dp, st.prev_accel_s.dtype)
+    vo_tick_pre = jnp.asarray(vo_tick_pre, jnp.int32)
+    vo_tick_now = jnp.asarray(vo_tick_now, jnp.int32)
 
     st = jax.lax.cond(
         jnp.asarray(vo_active, bool),

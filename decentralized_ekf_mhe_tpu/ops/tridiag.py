@@ -48,44 +48,41 @@ def solve(D: jnp.ndarray, U: jnp.ndarray, r: jnp.ndarray, valid=None) -> jnp.nda
         vU = (valid[:-1] & valid[1:])[..., None, None].astype(U.dtype)
         U = U * vU
 
-    def chol_solve(S, B):
-        """Solve S X = B for SPD S, batched over leading axes."""
-        L = jnp.linalg.cholesky(S)
-        y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), y, lower=False
-        )
-
+    # Factorization uses unrolled Gauss-Jordan inverses (ops/smallmat.py):
+    # ~30× faster than XLA's cholesky/triangular_solve HLOs for these sizes
+    # on TPU, and the Schur complements S_j are SPD so pivoting is safe.
     # forward sweep: S_j = D_j − U_{j-1}ᵀ S_{j-1}⁻¹ U_{j-1},
     #                y_j = r_j − U_{j-1}ᵀ S_{j-1}⁻¹ y_{j-1}
+    from decentralized_ekf_mhe_tpu.ops import smallmat
+
     def fwd(carry, inp):
-        S_prev, y_prev = carry
+        Sinv_prev, y_prev = carry
         D_j, U_prev, r_j = inp
-        W = chol_solve(S_prev, jnp.concatenate([U_prev, y_prev[..., None]], axis=-1))
-        SinvU = W[..., :-1]
-        Sinvy = W[..., -1]
+        SinvU = Sinv_prev @ U_prev
         Ut = jnp.swapaxes(U_prev, -1, -2)
         S_j = D_j - Ut @ SinvU
-        y_j = r_j - jnp.einsum("...ij,...j->...i", Ut, Sinvy)
-        return (S_j, y_j), (S_j, y_j)
+        y_j = r_j - jnp.einsum(
+            "...ij,...j->...i", Ut, jnp.einsum("...ij,...j->...i", Sinv_prev, y_prev)
+        )
+        Sinv_j = smallmat.gj_inv(S_j)
+        return (Sinv_j, y_j), (Sinv_j, y_j)
 
-    S0, y0 = D[0], r[0]
-    (_, _), (S_rest, y_rest) = jax.lax.scan(fwd, (S0, y0), (D[1:], U, r[1:]))
-    S = jnp.concatenate([S0[None], S_rest], axis=0)
+    Sinv0 = smallmat.gj_inv(D[0])
+    y0 = r[0]
+    (_, _), (Sinv_rest, y_rest) = jax.lax.scan(fwd, (Sinv0, y0), (D[1:], U, r[1:]))
+    Sinv = jnp.concatenate([Sinv0[None], Sinv_rest], axis=0)
     y = jnp.concatenate([y0[None], y_rest], axis=0)
 
     # backward sweep: x_{K-1} = S⁻¹y; x_j = S_j⁻¹ (y_j − U_j x_{j+1})
-    x_last = chol_solve(S[-1], y[-1][..., None])[..., 0]
+    x_last = jnp.einsum("...ij,...j->...i", Sinv[-1], y[-1])
 
     def bwd(x_next, inp):
-        S_j, y_j, U_j = inp
+        Sinv_j, y_j, U_j = inp
         rhs = y_j - jnp.einsum("...ij,...j->...i", U_j, x_next)
-        x_j = chol_solve(S_j, rhs[..., None])[..., 0]
+        x_j = jnp.einsum("...ij,...j->...i", Sinv_j, rhs)
         return x_j, x_j
 
-    _, x_rest = jax.lax.scan(
-        bwd, x_last, (S[:-1], y[:-1], U), reverse=True
-    )
+    _, x_rest = jax.lax.scan(bwd, x_last, (Sinv[:-1], y[:-1], U), reverse=True)
     return jnp.concatenate([x_rest, x_last[None]], axis=0)
 
 

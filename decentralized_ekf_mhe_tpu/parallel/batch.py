@@ -1,0 +1,138 @@
+"""Batched / sharded estimation harness: Monte-Carlo fleets and tuning sweeps.
+
+Replaces the reference's single-trajectory realtime loop with the TPU-native
+scale story (BASELINE.json configs 4-5): thousands of estimator instances per
+chip via vmap, sharded across chips/hosts via a (data, model) mesh, with
+cross-instance statistics reduced by XLA collectives (psum over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from decentralized_ekf_mhe_tpu.config import EstimatorParams
+from decentralized_ekf_mhe_tpu.ops import estimator, kf as kf_ops, mhe
+from decentralized_ekf_mhe_tpu.parallel import mesh as mesh_lib
+
+
+def perturb_log_batch(data: estimator.TickData, B: int, key, noise_scale=1.0,
+                      dtype=jnp.float32) -> estimator.TickData:
+    """Tile one log into B Monte-Carlo instances with fresh sensor noise draws
+    (config 4: sampled IMU/encoder noise)."""
+    ka, kg, kq = jax.random.split(key, 3)
+
+    def tile(a):
+        return jnp.broadcast_to(a[None].astype(dtype), (B,) + a.shape)
+
+    d = jax.tree.map(tile, data)
+    T = data.accel_b.shape[0]
+    d = d._replace(
+        accel_b=d.accel_b + noise_scale * 0.02 * jax.random.normal(ka, (B, T, 3), dtype),
+        omega_b=d.omega_b + noise_scale * 0.005 * jax.random.normal(kg, (B, T, 3), dtype),
+        dq=d.dq + noise_scale * 0.01 * jax.random.normal(kq, d.dq.shape, dtype),
+    )
+    return d
+
+
+def mhe_window_solve_batch(params: EstimatorParams, dtype=jnp.float32):
+    """Return a jittable f(batched MHEState) -> (B, N, s) window solve — the
+    pure QP kernel used for solves/s benchmarking."""
+    c = mhe.make_consts(params, dtype)
+
+    def f(st):
+        return mhe.solve_window(c, st)
+
+    return f
+
+
+def make_batched_runner(params: EstimatorParams, dtype=jnp.float32, with_vo=True):
+    """vmapped full-log MHE replay: f(TickData[B], VOData) -> (x[B,T,s], v[B,T,3])."""
+
+    def run_one(data, vo):
+        return estimator.run_mhe(params, data, vo=vo, dtype=dtype)
+
+    if with_vo:
+        return jax.vmap(run_one, in_axes=(0, None))
+    return jax.vmap(lambda d: estimator.run_mhe(params, d, vo=None, dtype=dtype))
+
+
+def sharded_monte_carlo(params: EstimatorParams, mesh, data_b: estimator.TickData,
+                        vo: Optional[estimator.VOData], gt_v: jnp.ndarray,
+                        dtype=jnp.float32):
+    """Run a sharded Monte-Carlo fleet and reduce summary statistics.
+
+    Instances are sharded over the whole mesh; the per-instance velocity RMSE
+    is reduced to fleet mean/max — XLA lowers the reductions to psum-style
+    collectives over ICI. Returns (x_last (B,s), rmse (B,), stats dict).
+    """
+    shard = mesh_lib.instance_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+
+    data_b = jax.device_put(data_b, shard)
+    gt_v = jax.device_put(gt_v.astype(dtype), repl)
+
+    if vo is not None:
+        runner = make_batched_runner(params, dtype, with_vo=True)
+
+        @partial(jax.jit, out_shardings=(shard, shard, repl, repl))
+        def go(d, v):
+            x, _ = runner(d, v)
+            err = x[..., 3:6] - gt_v[None]
+            rmse = jnp.sqrt(jnp.mean(err[:, 50:] ** 2, axis=(1, 2)))
+            return x[:, -1], rmse, jnp.mean(rmse), jnp.max(rmse)
+
+        x_last, rmse, mean_r, max_r = go(data_b, vo)
+    else:
+        runner = make_batched_runner(params, dtype, with_vo=False)
+
+        @partial(jax.jit, out_shardings=(shard, shard, repl, repl))
+        def go(d):
+            x, _ = runner(d)
+            err = x[..., 3:6] - gt_v[None]
+            rmse = jnp.sqrt(jnp.mean(err[:, 50:] ** 2, axis=(1, 2)))
+            return x[:, -1], rmse, jnp.mean(rmse), jnp.max(rmse)
+
+        x_last, rmse, mean_r, max_r = go(data_b)
+    return x_last, rmse, {"rmse_mean": mean_r, "rmse_max": max_r}
+
+
+def covariance_sweep(params_list, data: estimator.TickData, gt_v, mesh=None,
+                     dtype=jnp.float32):
+    """Config-grid covariance tuning sweep (BASELINE.json config 5): run the
+    same log under each parameter set, return per-config RMSE and the argmin.
+
+    Parameter sets differ only in noise std values (static shapes equal), so
+    the sweep vmaps over stacked NoiseConsts rather than recompiling per
+    config.
+    """
+    from decentralized_ekf_mhe_tpu.ops import assembly
+
+    base = params_list[0]
+    ncs = [assembly.make_noise_consts(p, dtype) for p in params_list]
+    ncs_stacked = jax.tree.map(lambda *a: jnp.stack(a), *ncs)
+
+    def run_with_nc(nc):
+        c = mhe.make_consts(base, dtype)._replace(nc=nc)
+        dd = jax.tree.map(lambda a: a.astype(dtype) if a.dtype.kind == "f" else a, data)
+        d0 = jax.tree.map(lambda a: a[0], dd)
+        st = mhe.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot, d0.J_foot,
+                      d0.dq, d0.contact, dtype=dtype)
+
+        def scan_step(st_, d):
+            st_, (x_T, _) = mhe.step(
+                c, st_, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
+                d.contact, False, jnp.zeros(3, dtype), 0, 0, dd.R_sb,
+            )
+            return st_, x_T
+
+        _, x_seq = jax.lax.scan(scan_step, st, jax.tree.map(lambda a: a[1:], dd))
+        err = x_seq[..., 3:6] - gt_v[1:].astype(dtype)
+        return jnp.sqrt(jnp.mean(err[50:] ** 2))
+
+    rmses = jax.jit(jax.vmap(run_with_nc))(ncs_stacked)
+    return rmses, jnp.argmin(rmses)
