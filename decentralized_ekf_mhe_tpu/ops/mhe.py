@@ -49,6 +49,12 @@ class MHEConsts(NamedTuple):
     dt: float
     leg_odom_type: int
     num_legs: int
+    # state box constraints (README.md:5 — the MHE "able to carry state
+    # constraints"). None ⇒ unconstrained (exact tridiagonal solve); set ⇒
+    # OSQP-semantics ADMM path (ops/admm.py) with the given iteration budget.
+    x_lb: object = None       # (s,) or None
+    x_ub: object = None       # (s,) or None
+    admm: object = None       # admm.ADMMSettings or None
 
 
 class MHEState(NamedTuple):
@@ -75,10 +81,18 @@ class MHEState(NamedTuple):
     prev_contact: jnp.ndarray  # (...,L)
 
 
-def make_consts(p: EstimatorParams, dtype=jnp.float32) -> MHEConsts:
+def make_consts(p: EstimatorParams, dtype=jnp.float32,
+                x_lb=None, x_ub=None, admm_iters=None) -> MHEConsts:
+    """Build static MHE constants. Passing x_lb/x_ub ((s,) arrays; ±inf for
+    unconstrained dims) switches solve_window to the ADMM path with OSQP
+    settings from ``p.osqp`` and a fixed iteration budget (default
+    min(maxQPIter, 200) — the timeLimit analog)."""
+    from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
     s = p.dim_state
     P = np.zeros((3, s))
     P[:, :3] = np.eye(3)
+    constrained = x_lb is not None or x_ub is not None
     return MHEConsts(
         nc=assembly.make_noise_consts(p, dtype),
         A_meas=assembly.a_meas(p, dtype),
@@ -90,6 +104,14 @@ def make_consts(p: EstimatorParams, dtype=jnp.float32) -> MHEConsts:
         dt=p.dt,
         leg_odom_type=p.leg_odom_type,
         num_legs=p.num_legs,
+        x_lb=jnp.asarray(
+            x_lb if x_lb is not None else np.full(s, -np.inf), dtype
+        ) if constrained else None,
+        x_ub=jnp.asarray(
+            x_ub if x_ub is not None else np.full(s, np.inf), dtype
+        ) if constrained else None,
+        admm=admm_lib.ADMMSettings.from_osqp(p.osqp, admm_iters)
+        if constrained else None,
     )
 
 
@@ -290,13 +312,25 @@ def assemble_normal_equations(c: MHEConsts, st: MHEState):
 
 @full_precision
 def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
-    """Solve the current window; returns (..., N, s) states (zeros on dead slots)."""
+    """Solve the current window; returns (..., N, s) states (zeros on dead slots).
+
+    Unconstrained configs use the exact one-sweep solve; with state box
+    constraints (c.x_lb/x_ub set) the OSQP-semantics ADMM runs, each iteration
+    one block-Thomas sweep on the σ/ρ-augmented system.
+    """
     D, U, r, valid = assemble_normal_equations(c, st)
     Dl = jnp.moveaxis(D, -3, 0)
     Ul = jnp.moveaxis(U, -3, 0)[:-1]
     rl = jnp.moveaxis(r, -2, 0)
     vl = jnp.moveaxis(jnp.broadcast_to(valid, r.shape[:-1]), -1, 0)
-    x = tridiag.solve(Dl, Ul, rl, valid=vl)
+    if c.x_lb is None:
+        x = tridiag.solve(Dl, Ul, rl, valid=vl)
+    else:
+        from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
+        x, _, _, _, _ = admm_lib.solve_box_tridiag(
+            Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl
+        )
     return jnp.moveaxis(x, 0, -2)
 
 
