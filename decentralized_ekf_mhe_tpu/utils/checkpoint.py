@@ -1,0 +1,39 @@
+"""Checkpoint / resume for estimator carries.
+
+The reference has no checkpointing (SURVEY.md §5); its closest analogs are
+MHEproblem::resetQP (MheSrb.cpp:734-760) and the arrival-cost pair (M_p, n_p)
+— the compressed sufficient statistic of all marginalized history. Here the
+whole estimator carry (EKF ring, MHE window tensors, arrival pair, Bezier
+waypoints) is a small pytree of arrays, so long sweeps snapshot it as one
+npz and resume bit-exactly. NamedTuple structure is rebuilt on load from the
+flattened leaf order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def save_carry(path: str, carry) -> None:
+    """Snapshot any pytree-of-arrays carry to ``path`` (npz)."""
+    leaves = jax.tree.leaves(carry)
+    np.savez_compressed(
+        path, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    )
+
+
+def load_carry(path: str, like):
+    """Restore a carry saved by ``save_carry``; ``like`` provides the pytree
+    structure and dtypes (e.g. a freshly initialized carry)."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    treedef = jax.tree.structure(like)
+    like_leaves = jax.tree.leaves(like)
+    leaves = []
+    for i, ref in enumerate(like_leaves):
+        arr = data[f"leaf_{i}"]
+        leaves.append(jnp.asarray(arr, getattr(ref, "dtype", None)))
+    return jax.tree.unflatten(treedef, leaves)
