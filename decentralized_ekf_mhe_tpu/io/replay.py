@@ -92,7 +92,15 @@ class AlignedLog:
 
 def latest_index(stream_t: np.ndarray, sample_t: np.ndarray) -> np.ndarray:
     """Index of the latest message at or before each sample time (latest-value
-    DDS semantics); clamps to 0 before the first message."""
+    DDS semantics); clamps to 0 before the first message.
+
+    Routes through the native runtime library (native/dem_native.cpp) when
+    built; numpy otherwise — results are identical.
+    """
+    from decentralized_ekf_mhe_tpu import native
+
+    if native.available():
+        return native.latest_index(stream_t, sample_t)
     idx = np.searchsorted(stream_t, sample_t, side="right") - 1
     return np.clip(idx, 0, max(len(stream_t) - 1, 0))
 
