@@ -51,14 +51,17 @@ def main():
     data = estimator.tickdata_from_log(log, dtype=dtype)
     vo = estimator.vodata_from_log(log, dtype=dtype)
     key = jax.random.PRNGKey(0)
-    data_b = batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
+    data_b = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
+    )
 
-    runner = jax.jit(batch_lib.make_batched_runner(params, dtype, with_vo=True))
+    runner = jax.jit(batch_lib.make_fused_batched_runner(params, dtype,
+                                                         use_pallas=True))
 
     def sync(val):
         # block_until_ready returns before execution completes on the axon
         # tunnel backend; a device->host scalar copy is the reliable fence.
-        return float(jnp.sum(val[:, -1]))
+        return float(jnp.sum(val[-1]))
 
     t0 = time.time()
     x, v = runner(data_b, vo)
@@ -86,17 +89,17 @@ def main():
           f"({cyc*1e3/B:.4f} ms/instance; reference budget 5 ms/instance)",
           file=sys.stderr)
 
-    # sanity: estimates finite and accurate vs ground truth
-    v_est = np.asarray(x[:, :, 3:6]).astype(np.float64)
+    # sanity: estimates finite and accurate vs ground truth (x is (T, B, s))
+    v_est = np.asarray(x[..., 3:6]).astype(np.float64)
     assert np.isfinite(v_est).all(), "non-finite estimates"
-    rmse = float(np.sqrt(((v_est[:, 100:] - log.gt_v_s[None, 100:]) ** 2).mean()))
+    rmse = float(np.sqrt(((v_est[100:] - log.gt_v_s[100:, None]) ** 2).mean()))
     print(f"fleet velocity RMSE vs GT: {rmse:.4f} m/s", file=sys.stderr)
     assert rmse < 0.1, f"accuracy regression: RMSE {rmse}"
 
     print(json.dumps({
         "metric": "mhe_solves_per_s_per_chip",
         "value": round(rate, 1),
-        "unit": "solves/s (N=20 window, Go1 config, incl. VO+marginalization)",
+        "unit": "solves/s (N=20 window, Go1 config, incl. VO+marginalization; Pallas window solve)",
         "vs_baseline": round(rate / 50_000.0, 3),
     }))
 

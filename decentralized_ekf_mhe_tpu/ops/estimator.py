@@ -124,17 +124,24 @@ def run_mhe(
     vo: Optional[VOData] = None,
     lever_arm=kf.DEFAULT_LEVER_ARM,
     dtype=jnp.float64,
+    consts=None,
 ):
     """Replay the MHE (est_type=0) over a log: init at tick 0, then one
     mhe.step per tick (the timerCallback dispatch, EstSub.cpp:58-91).
 
-    Returns (x_seq (T,s), v_b_seq (T,3)). x_seq[0] is the prior+measurement
-    solve at tick 0 (the reference does not publish an estimate at T=0; this
-    slot is provided for completeness).
+    ``data`` may be single-instance (T, ...) or fleet-batched (T, B, ...) —
+    every kernel broadcasts over the trailing instance axis, so a batched
+    time-leading layout replays the whole fleet in one scan (see
+    parallel.batch.make_fused_batched_runner). Pass ``consts`` to override
+    solver options (e.g. the Pallas window solve or state constraints).
+
+    Returns (x_seq (T,[B,]s), v_b_seq (T,[B,]3)). x_seq[0] is the
+    prior+measurement solve at tick 0 (the reference does not publish an
+    estimate at T=0; the slot is provided for completeness).
     """
     from decentralized_ekf_mhe_tpu.ops import mhe
 
-    c = mhe.make_consts(params, dtype)
+    c = consts if consts is not None else mhe.make_consts(params, dtype)
     lever = jnp.asarray(lever_arm, dtype)
     T_total = data.accel_b.shape[0]
     if vo is None:

@@ -55,6 +55,9 @@ class MHEConsts(NamedTuple):
     x_lb: object = None       # (s,) or None
     x_ub: object = None       # (s,) or None
     admm: object = None       # admm.ADMMSettings or None
+    # use the Pallas instance-on-lanes kernel for the window solve (TPU,
+    # single leading batch axis, unconstrained): ~14x the XLA path at B=1024
+    use_pallas: bool = False
 
 
 class MHEState(NamedTuple):
@@ -82,7 +85,8 @@ class MHEState(NamedTuple):
 
 
 def make_consts(p: EstimatorParams, dtype=jnp.float32,
-                x_lb=None, x_ub=None, admm_iters=None) -> MHEConsts:
+                x_lb=None, x_ub=None, admm_iters=None,
+                use_pallas: bool = False) -> MHEConsts:
     """Build static MHE constants. Passing x_lb/x_ub ((s,) arrays; ±inf for
     unconstrained dims) switches solve_window to the ADMM path with OSQP
     settings from ``p.osqp`` and a fixed iteration budget (default
@@ -112,6 +116,7 @@ def make_consts(p: EstimatorParams, dtype=jnp.float32,
         ) if constrained else None,
         admm=admm_lib.ADMMSettings.from_osqp(p.osqp, admm_iters)
         if constrained else None,
+        use_pallas=use_pallas and not constrained,
     )
 
 
@@ -156,7 +161,7 @@ def init(
         M_p=Q_prior,
         n_p=-jnp.einsum("...ij,...j->...i", Q_prior, x_prior),
         T=jnp.asarray(0, jnp.int32),
-        bez=bezier.init(dtype),
+        bez=bezier.init(dtype, batch=batch),
         prev_R=R_sb,
         prev_accel_s=assembly.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
@@ -245,7 +250,7 @@ def _apply_vo(c: MHEConsts, st: MHEState, R_seq, vo_dp, vo_tick_pre, vo_tick_now
     slot = start + i - T + N
     mask = do_interp & (i <= num - 2) & (slot >= 0) & (slot <= N - 2) & node_mask[1:]
     tgt = jnp.where(mask, slot, N + 8)  # out-of-range ⇒ dropped by mode="drop"
-    b_cam = st.b_cam.at[..., tgt, :].set(-diffs[1:], mode="drop")
+    b_cam = st.b_cam.at[..., tgt, :].set(-diffs[..., 1:, :], mode="drop")
     cam_active = st.cam_active.at[..., tgt].set(True, mode="drop")
     return st._replace(b_cam=b_cam, cam_active=cam_active, bez=bez_c)
 
@@ -323,7 +328,11 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
     Ul = jnp.moveaxis(U, -3, 0)[:-1]
     rl = jnp.moveaxis(r, -2, 0)
     vl = jnp.moveaxis(jnp.broadcast_to(valid, r.shape[:-1]), -1, 0)
-    if c.x_lb is None:
+    if c.use_pallas and c.x_lb is None and rl.ndim == 3:
+        from decentralized_ekf_mhe_tpu.pallas import tridiag_kernel as tk
+
+        x = tk.solve_batched(Dl, Ul, rl, valid=vl)
+    elif c.x_lb is None:
         x = tridiag.solve(Dl, Ul, rl, valid=vl)
     else:
         from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
