@@ -111,7 +111,8 @@ def sharded_monte_carlo(params: EstimatorParams, mesh, data_b: estimator.TickDat
         def go(d, v):
             x, _ = runner(d, v)
             err = x[..., 3:6] - gt_v[None]
-            rmse = jnp.sqrt(jnp.mean(err[:, 50:] ** 2, axis=(1, 2)))
+            skip = min(50, err.shape[1] // 2)
+            rmse = jnp.sqrt(jnp.mean(err[:, skip:] ** 2, axis=(1, 2)))
             return x[:, -1], rmse, jnp.mean(rmse), jnp.max(rmse)
 
         x_last, rmse, mean_r, max_r = go(data_b, vo)
@@ -122,11 +123,92 @@ def sharded_monte_carlo(params: EstimatorParams, mesh, data_b: estimator.TickDat
         def go(d):
             x, _ = runner(d)
             err = x[..., 3:6] - gt_v[None]
-            rmse = jnp.sqrt(jnp.mean(err[:, 50:] ** 2, axis=(1, 2)))
+            skip = min(50, err.shape[1] // 2)
+            rmse = jnp.sqrt(jnp.mean(err[:, skip:] ** 2, axis=(1, 2)))
             return x[:, -1], rmse, jnp.mean(rmse), jnp.max(rmse)
 
         x_last, rmse, mean_r, max_r = go(data_b)
     return x_last, rmse, {"rmse_mean": mean_r, "rmse_max": max_r}
+
+
+def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
+                         use_pallas=True):
+    """shard_map the fused fleet runner over the mesh (config 5 pod scale).
+
+    The instance axis is sharded over all mesh axes; each shard replays its
+    local sub-fleet through one scan (Pallas window solve inside), and fleet
+    statistics are psum-reduced over ICI. Returns f(data_tb, vo, gt_v) ->
+    (x (T,B,s) sharded, rmse (B,) sharded, stats replicated).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
+
+    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    axes = tuple(mesh.axis_names)
+    batch_spec = P(None, axes)        # (T, B, ...) with B sharded
+    repl = P()
+
+    def body(data_tb, vo, gt_v):
+        x, v_b = estimator.run_mhe(params, data_tb, vo=vo, dtype=dtype, consts=c)
+        err = x[..., 3:6] - gt_v[:, None, :]
+        skip = min(50, err.shape[0] // 2)  # warmup skip, adaptive to log length
+        local_sq = jnp.sum(err[skip:] ** 2, axis=(0, 2))
+        rmse = jnp.sqrt(local_sq / (err.shape[0] - skip) / 3.0)
+        n_total = jax.lax.psum(jnp.asarray(rmse.shape[0], dtype), axes)
+        fleet_mean = jax.lax.psum(jnp.sum(rmse), axes) / n_total
+        fleet_max = jax.lax.pmax(jnp.max(rmse), axes)
+        return x, rmse, fleet_mean, fleet_max
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            estimator.TickData(*([batch_spec] * 7)),
+            estimator.VOData(*([repl] * 4)),
+            repl,
+        ),
+        out_specs=(batch_spec, P(axes), repl, repl),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def measure_scaling(params, data_tb, vo, gt_v, device_counts, dtype=jnp.float32,
+                    use_pallas=False, reps=2):
+    """Weak-scaling efficiency harness: fixed per-device fleet, growing mesh.
+
+    Returns {n_devices: (wall_s, solves_per_s)}; efficiency at n = rate(n) /
+    (n * rate(1)). On a real pod this measures ICI/DCN overhead; on the
+    virtual CPU mesh it validates the sharded program end-to-end.
+    """
+    import time
+
+    import numpy as np
+
+    from decentralized_ekf_mhe_tpu.parallel import mesh as mesh_lib
+
+    T = data_tb.accel_b.shape[0]
+    B_per = data_tb.accel_b.shape[1]
+    results = {}
+    for n in device_counts:
+        mesh = mesh_lib.make_mesh(devices=jax.devices()[:n])
+        B = B_per * n
+        data_n = jax.tree.map(
+            lambda a: jnp.concatenate([a] * n, axis=1), data_tb
+        )
+        runner = sharded_fleet_runner(params, mesh, dtype, use_pallas=use_pallas)
+        shard = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+        data_n = jax.device_put(data_n, shard)
+        out = runner(data_n, vo, gt_v)
+        float(np.asarray(out[2]))  # sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = runner(data_n, vo, gt_v)
+            float(np.asarray(out[2]))
+            best = min(best, time.time() - t0)
+        results[n] = (best, B * (T - 1) / best)
+    return results
 
 
 def covariance_sweep(params_list, data: estimator.TickData, gt_v, mesh=None,
@@ -160,7 +242,8 @@ def covariance_sweep(params_list, data: estimator.TickData, gt_v, mesh=None,
 
         _, x_seq = jax.lax.scan(scan_step, st, jax.tree.map(lambda a: a[1:], dd))
         err = x_seq[..., 3:6] - gt_v[1:].astype(dtype)
-        return jnp.sqrt(jnp.mean(err[50:] ** 2))
+        skip = min(50, err.shape[0] // 2)  # warmup skip, adaptive to log length
+        return jnp.sqrt(jnp.mean(err[skip:] ** 2))
 
     rmses = jax.jit(jax.vmap(run_with_nc))(ncs_stacked)
     return rmses, jnp.argmin(rmses)

@@ -1,0 +1,78 @@
+"""Stateful facade parity: tick-at-a-time API == the scan drivers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from decentralized_ekf_mhe_tpu.config import EstimatorParams
+from decentralized_ekf_mhe_tpu.io import synth
+from decentralized_ekf_mhe_tpu.ops import estimator
+from decentralized_ekf_mhe_tpu.ops.facade import DecentralizedEstimator
+
+
+def _params(est_type=0, N=8):
+    return EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=N,
+                           est_type=est_type, foot_swing_std=[1e7] * 3)
+
+
+def _tick_args(log, k):
+    return (log.R_sb_gt[k], log.accel_b[k], log.omega_b[k], log.p_foot[k],
+            log.J_foot[k], log.dq[k], log.contact[k])
+
+
+def test_facade_mhe_matches_scan():
+    p = _params(0)
+    log = synth.generate(synth.SynthConfig(T=30, seed=1))
+    est = DecentralizedEstimator(p, dtype=jnp.float64)
+    est.initialize(*_tick_args(log, 0))
+    xs = [np.asarray(est.x)]
+    for k in range(1, 30):
+        vo = (bool(log.vo_active[k]), log.vo_dp_body[k],
+              int(log.vo_tick_pre[k]), int(log.vo_tick_now[k]))
+        est.update(*_tick_args(log, k), vo_active=vo[0], vo_dp=vo[1],
+                   vo_tick_pre=vo[2], vo_tick_now=vo[3])
+        xs.append(np.asarray(est.x))
+    xs = np.stack(xs)
+
+    data = estimator.tickdata_from_log(log)
+    voD = estimator.vodata_from_log(log)
+    x_scan, _ = estimator.run_mhe(p, data, vo=voD)
+    np.testing.assert_allclose(xs, np.asarray(x_scan), atol=1e-9)
+
+
+def test_facade_kf_matches_scan():
+    p = _params(1)
+    log = synth.generate(synth.SynthConfig(T=25, seed=2))
+    est = DecentralizedEstimator(p, dtype=jnp.float64)
+    est.initialize(*_tick_args(log, 0))
+    xs = [np.asarray(est.x)]
+    for k in range(1, 25):
+        est.update(*_tick_args(log, k))
+        xs.append(np.asarray(est.x))
+    data = estimator.tickdata_from_log(log)
+    x_scan, _ = estimator.run_kf(p, data)
+    np.testing.assert_allclose(np.stack(xs), np.asarray(x_scan), atol=1e-9)
+
+
+def test_facade_reset():
+    p = _params(0)
+    log = synth.generate(synth.SynthConfig(T=10, seed=3))
+    est = DecentralizedEstimator(p, dtype=jnp.float64)
+    est.initialize(*_tick_args(log, 0))
+    x_first = np.asarray(est.x)
+    for k in range(1, 6):
+        est.update(*_tick_args(log, k))
+    est.reset()
+    assert est.T == 0 and est.x is None
+    est.initialize(*_tick_args(log, 0))
+    np.testing.assert_array_equal(np.asarray(est.x), x_first)
+
+
+def test_example_run_robot():
+    import sys
+    sys.path.insert(0, "examples")
+    import run_robot
+
+    assert run_robot.main(["--robot", "pogox", "--ticks", "80",
+                           "--v-limit", "0.6", "--cpu"]) == 0
+    assert run_robot.main(["--robot", "cassie", "--ticks", "80", "--cpu"]) == 0

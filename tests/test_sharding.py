@@ -1,0 +1,86 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from decentralized_ekf_mhe_tpu.config import EstimatorParams
+from decentralized_ekf_mhe_tpu.io import synth
+from decentralized_ekf_mhe_tpu.ops import estimator
+from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+from decentralized_ekf_mhe_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=8,
+                        foot_swing_std=[1e7] * 3)
+    log = synth.generate(synth.SynthConfig(T=40, seed=0))
+    data = estimator.tickdata_from_log(log, dtype=jnp.float32)
+    vo = estimator.vodata_from_log(log, dtype=jnp.float32)
+    return p, log, data, vo
+
+
+def test_mesh_construction():
+    m = mesh_lib.make_mesh()
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m2 = mesh_lib.make_mesh(devices=jax.devices()[:5])
+    assert dict(m2.shape) == {"data": 5, "model": 1}
+
+
+def test_sharded_fleet_matches_single_device(setup):
+    """8-way sharded fused fleet == unsharded fused fleet."""
+    p, log, data, vo = setup
+    B = 16
+    db = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, jax.random.PRNGKey(0))
+    )
+    gt_v = jnp.asarray(log.gt_v_s, jnp.float32)
+
+    x_ref, _ = jax.jit(batch_lib.make_fused_batched_runner(
+        p, jnp.float32, use_pallas=False))(db, vo)
+
+    mesh = mesh_lib.make_mesh()
+    runner = batch_lib.sharded_fleet_runner(p, mesh, jnp.float32,
+                                            use_pallas=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    db_sharded = jax.device_put(
+        db, NamedSharding(mesh, P(None, ("data", "model")))
+    )
+    x_sh, rmse, fleet_mean, fleet_max = runner(db_sharded, vo, gt_v)
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=2e-5)
+    # the psum-reduced stats equal the host-side reduction
+    r = np.asarray(rmse)
+    np.testing.assert_allclose(float(fleet_mean), r.mean(), rtol=1e-5)
+    np.testing.assert_allclose(float(fleet_max), r.max(), rtol=1e-5)
+
+
+def test_scaling_harness_runs(setup):
+    p, log, data, vo = setup
+    db = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, 4, jax.random.PRNGKey(1))
+    )
+    gt_v = jnp.asarray(log.gt_v_s, jnp.float32)
+    res = batch_lib.measure_scaling(p, db, vo, gt_v, device_counts=(1, 2),
+                                    reps=1)
+    assert set(res) == {1, 2}
+    for n, (wall, rate) in res.items():
+        assert wall > 0 and rate > 0
+
+
+def test_covariance_sweep(setup):
+    p, log, data, vo = setup
+    variants = []
+    for scale in (0.5, 1.0, 2.0):
+        q = EstimatorParams(**{**p.__dict__})
+        q.accel_input_std = [v * scale for v in [0.025, 0.025, 0.02]]
+        variants.append(q)
+    rmses, best = batch_lib.covariance_sweep(
+        variants, data, jnp.asarray(log.gt_v_s, jnp.float32)
+    )
+    assert rmses.shape == (3,)
+    assert np.isfinite(np.asarray(rmses)).all()
+    assert 0 <= int(best) < 3
