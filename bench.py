@@ -55,8 +55,8 @@ def main():
         batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
     )
 
-    runner = jax.jit(batch_lib.make_fused_batched_runner(params, dtype,
-                                                         use_pallas=True))
+    runner = jax.jit(batch_lib.make_lanes_fleet_runner(params, dtype,
+                                                       use_pallas=True))
 
     def sync(val):
         # block_until_ready returns before execution completes on the axon
@@ -99,7 +99,7 @@ def main():
     print(json.dumps({
         "metric": "mhe_solves_per_s_per_chip",
         "value": round(rate, 1),
-        "unit": "solves/s (N=20 window, Go1 config, incl. VO+marginalization; Pallas window solve)",
+        "unit": "solves/s (N=20 window, Go1 config, incl. VO+marginalization; lanes-layout Pallas window solve)",
         "vs_baseline": round(rate / 50_000.0, 3),
     }))
 

@@ -113,3 +113,82 @@ class StereoVOFrontend:
             np.asarray(t_pre), np.asarray(t_now), np.asarray(dps),
             np.asarray(qs), np.asarray(ps),
         )
+
+
+class RGBDVOFrontend(StereoVOFrontend):
+    """RGB-D modality (C11: rgbd-slam-node.cpp:34-53): ORB-SLAM3's TrackRGBD
+    returns the same metric camera pose as TrackStereo, so the downstream
+    geometry is identical to the stereo frontend. Kept as its own type so
+    replay configs can declare the sensor modality explicitly."""
+
+
+class MonocularVOFrontend(StereoVOFrontend):
+    """Monocular modality (C11: monocular-slam-node.cpp:34-43): TrackMonocular
+    poses are defined only up to scale. ``scale`` rescales translations to
+    metric units (e.g. fit offline against leg odometry); rotation is
+    scale-free, so ``q_world_body`` is usable by the orientation EKF as-is
+    while ``dp_body``/``p_world_body`` carry the calibrated scale.
+    """
+
+    def __init__(self, R_ic, p_ic, scale: float = 1.0,
+                 camera_pose_is_inverse: bool = True):
+        super().__init__(R_ic, p_ic, camera_pose_is_inverse)
+        self.scale = float(scale)
+
+    def process(self, R_cam, p_cam, t_stamp):
+        out = super().process(
+            R_cam, np.asarray(p_cam, float) * self.scale, t_stamp
+        )
+        return out
+
+
+def approximate_time_sync(t_a, t_b, max_dt: float = 0.01):
+    """Pair two stamped streams the way message_filters' ApproximateTime sync
+    does for the stereo/rgbd/stereo-decentralized nodes (C10/C11,
+    stereo-pub-node.cpp:74-77): each A-stamp is matched to the nearest
+    B-stamp within ``max_dt``; unmatched frames are dropped.
+
+    Returns (idx_a, idx_b) index arrays of equal length into the two streams.
+    """
+    t_a = np.asarray(t_a, float)
+    t_b = np.asarray(t_b, float)
+    if t_a.size == 0 or t_b.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pos = np.searchsorted(t_b, t_a)
+    lo = np.clip(pos - 1, 0, len(t_b) - 1)
+    hi = np.clip(pos, 0, len(t_b) - 1)
+    nearest = np.where(
+        np.abs(t_b[hi] - t_a) < np.abs(t_b[lo] - t_a), hi, lo
+    )
+    ok = np.abs(t_b[nearest] - t_a) <= max_dt
+    idx_a = np.nonzero(ok)[0]
+    idx_b = nearest[ok]
+    # each B frame pairs with at most one A frame (queue-pop semantics)
+    _, first = np.unique(idx_b, return_index=True)
+    return idx_a[np.sort(first)], idx_b[np.sort(first)]
+
+
+def sync_stereo_inertial(t_imu, t_left, t_right, max_time_diff: float = 0.01):
+    """Offline equivalent of the stereo-inertial node's buffered SyncWithImu
+    thread (C11, stereo-inertial-node.cpp:135-216): match stereo pairs within
+    ``maxTimeDiff`` (the node's 0.01 s), drop frames that outrun the IMU
+    stream, and batch every IMU sample with stamp ≤ the left-image stamp to
+    its frame (the `vImuMeas` slice handed to TrackStereo).
+
+    Returns (idx_left, idx_right, imu_start, imu_end) — per matched frame,
+    the image indices and the [start, end) IMU slice; slices are contiguous
+    and non-overlapping exactly as the node's queue-draining loop produces.
+    """
+    t_imu = np.asarray(t_imu, float)
+    t_left = np.asarray(t_left, float)
+    t_right = np.asarray(t_right, float)
+    idx_l, idx_r = approximate_time_sync(t_left, t_right, max_time_diff)
+    if t_imu.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    # the node waits until IMU data reaches the image stamp
+    ok = t_left[idx_l] <= t_imu[-1]
+    idx_l, idx_r = idx_l[ok], idx_r[ok]
+    imu_end = np.searchsorted(t_imu, t_left[idx_l], side="right")
+    imu_start = np.concatenate([[0], imu_end[:-1]])
+    return idx_l, idx_r, imu_start, imu_end

@@ -164,7 +164,7 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
     statistics are psum-reduced over ICI. Returns f(data_tb, vo, gt_v) ->
     (x (T,B,s) sharded, rmse (B,) sharded, stats replicated).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
 
@@ -192,7 +192,7 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
             repl,
         ),
         out_specs=(batch_spec, P(axes), repl, repl),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

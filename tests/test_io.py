@@ -193,3 +193,62 @@ def test_end_to_end_raw_pipeline():
         ((np.asarray(x[100:, 3:6]) - log.gt_v_s[100:Tn]) ** 2).mean()
     )
     assert rmse < 0.1, f"raw-pipeline KF RMSE {rmse}"
+
+
+def test_vo_modalities_and_mono_scale():
+    """RGBD frontend == stereo geometry; monocular applies metric scale."""
+    rng = np.random.default_rng(11)
+    from tests.ref_impl.ekf_ref import rot as quat_rot
+
+    def rand_R(r):
+        q = r.standard_normal(4)
+        return quat_rot(q / np.linalg.norm(q))
+
+    R_ic, p_ic = rand_R(rng), rng.standard_normal(3) * 0.05
+    n = 6
+    R_cams = [rand_R(rng) for _ in range(n)]
+    p_cams = [rng.standard_normal(3) for _ in range(n)]
+    stamps = np.arange(n) * 0.033
+
+    st = vo_frontend.StereoVOFrontend(R_ic, p_ic).process_trajectory(
+        R_cams, p_cams, stamps)
+    rd = vo_frontend.RGBDVOFrontend(R_ic, p_ic).process_trajectory(
+        R_cams, p_cams, stamps)
+    for a, b in zip(st, rd):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+    # monocular with up-to-scale input: scale=2 recovers the metric stream
+    p_scaled = [p / 2.0 for p in p_cams]
+    mono = vo_frontend.MonocularVOFrontend(R_ic, p_ic, scale=2.0)
+    mo = mono.process_trajectory(R_cams, p_scaled, stamps)
+    np.testing.assert_allclose(mo[2], st[2], atol=1e-10)   # dp_body metric
+    np.testing.assert_allclose(mo[3], st[3], atol=1e-10)   # rotation scale-free
+
+
+def test_approximate_time_sync():
+    t_a = np.array([0.00, 0.10, 0.20, 0.30, 0.40])
+    t_b = np.array([0.004, 0.102, 0.25, 0.399])
+    ia, ib = vo_frontend.approximate_time_sync(t_a, t_b, max_dt=0.01)
+    np.testing.assert_array_equal(ia, [0, 1, 4])   # 0.20/0.30 unmatched
+    np.testing.assert_array_equal(ib, [0, 1, 3])
+    # a B frame pairs with at most one A frame
+    ia, ib = vo_frontend.approximate_time_sync(
+        np.array([0.0, 0.001]), np.array([0.0005]), max_dt=0.01)
+    assert len(ia) == 1 and len(ib) == 1
+
+
+def test_sync_stereo_inertial_batches():
+    """IMU batching matches the stereo-inertial queue-drain semantics."""
+    t_imu = np.arange(0.0, 1.0, 0.002)          # 500 Hz
+    t_left = np.array([0.10, 0.20, 0.30, 1.50])  # last frame outruns IMU
+    t_right = t_left + 0.003                     # within maxTimeDiff
+    il, ir, s, e = vo_frontend.sync_stereo_inertial(t_imu, t_left, t_right)
+    np.testing.assert_array_equal(il, [0, 1, 2])
+    np.testing.assert_array_equal(ir, [0, 1, 2])
+    # every batched IMU stamp <= its frame's left stamp; slices contiguous
+    assert s[0] == 0
+    np.testing.assert_array_equal(s[1:], e[:-1])
+    for k in range(3):
+        assert (t_imu[s[k]:e[k]] <= t_left[il[k]] + 1e-12).all()
+        if e[k] < len(t_imu):
+            assert t_imu[e[k]] > t_left[il[k]]
