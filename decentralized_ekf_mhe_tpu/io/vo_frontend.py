@@ -163,9 +163,13 @@ def approximate_time_sync(t_a, t_b, max_dt: float = 0.01):
     ok = np.abs(t_b[nearest] - t_a) <= max_dt
     idx_a = np.nonzero(ok)[0]
     idx_b = nearest[ok]
-    # each B frame pairs with at most one A frame (queue-pop semantics)
-    _, first = np.unique(idx_b, return_index=True)
-    return idx_a[np.sort(first)], idx_b[np.sort(first)]
+    # each B frame pairs with at most one A frame; on collision keep the A
+    # frame with the closest stamp (ApproximateTime pairs nearest, not first)
+    gap = np.abs(t_b[idx_b] - t_a[idx_a])
+    order = np.lexsort((gap, idx_b))  # sort by idx_b, then by |dt|
+    _, first = np.unique(idx_b[order], return_index=True)
+    keep = np.sort(order[first])
+    return idx_a[keep], idx_b[keep]
 
 
 def sync_stereo_inertial(t_imu, t_left, t_right, max_time_diff: float = 0.01):

@@ -38,6 +38,22 @@ class ADMMSettings(NamedTuple):
     iters: int = 50
     adaptive_rho: bool = True       # OSQP adaptRho (parameters_go1.yaml:43)
     rho_update_every: int = 10
+    # OSQP convergence criterion (§3.4 of the OSQP paper; OsqpEigen
+    # setAbsoluteTolerance / setRelativeTolerance, DecentralEst.cpp:213-214):
+    #   prim ≤ abs_tol + rel_tol·max(‖Ax‖∞, ‖z‖∞)
+    #   dual ≤ abs_tol + rel_tol·max(‖Px‖∞, ‖Aᵀy‖∞, ‖q‖∞)
+    # Once a batch instance converges its iterates FREEZE (masked updates —
+    # the jit-safe analog of OSQP's early exit); the returned ``iters`` field
+    # counts iterations actually run per instance. abs_tol=rel_tol=0 disables
+    # the check (pure fixed-budget behavior).
+    abs_tol: float = 0.0
+    rel_tol: float = 0.0
+    # OSQP infeasibility-certificate tolerances (setPrimalInfeasibility-
+    # Tolerance / setDualInfeasibilityTolerance, DecentralEst.cpp:215-216),
+    # consumed by solve_box_qp's certificate check. solve_box_tridiag's
+    # problems (A = I, l ≤ u validated) are feasible by construction.
+    prim_inf_tol: float = 1e-6
+    dual_inf_tol: float = 1e-6
     # OSQP-style solution polish: after the ADMM loop, re-solve exactly with
     # the detected active bounds pinned (penalty form, scale-aware), which
     # removes the first-order method's tail error when the active set has
@@ -46,10 +62,41 @@ class ADMMSettings(NamedTuple):
     polish_penalty: float = 1e6
 
     @classmethod
-    def from_osqp(cls, p: OSQPParams, iters=None):
-        return cls(rho=p.rho, sigma=p.sigma, alpha=p.alpha,
-                   iters=iters if iters is not None else min(p.max_iter, 200),
-                   adaptive_rho=p.adapt_rho, polish=p.polish)
+    def from_osqp(cls, p: OSQPParams, iters=None, per_iter_s=None):
+        """Map the reference's osqp.* group (DecentralEst.cpp:204-217).
+
+        The iteration budget is the wall-clock timeLimit analog
+        (parameters_go1.yaml:50): with a measured ``per_iter_s`` it becomes
+        min(maxQPIter, time_limit/per_iter_s); otherwise min(maxQPIter, 200).
+        absTol/relTol drive the converged-freeze so a tight budget is an
+        upper bound, not the typical cost.
+        """
+        if iters is None:
+            if per_iter_s is not None and per_iter_s > 0:
+                iters = max(1, min(p.max_iter,
+                                   int(p.time_limit / per_iter_s)))
+            else:
+                iters = min(p.max_iter, 200)
+        return cls(rho=p.rho, sigma=p.sigma, alpha=p.alpha, iters=iters,
+                   adaptive_rho=p.adapt_rho, polish=p.polish,
+                   abs_tol=p.abs_tol, rel_tol=p.relative_tol,
+                   prim_inf_tol=p.prim_tol, dual_inf_tol=p.dual_tol)
+
+
+class ADMMResult(NamedTuple):
+    """Solver output (access by attribute; field count may grow)."""
+
+    x: jnp.ndarray
+    z: jnp.ndarray
+    y: jnp.ndarray
+    prim: jnp.ndarray    # final primal residual ‖Ax − z‖∞ per instance
+    dual: jnp.ndarray    # final dual residual per instance
+    iters: jnp.ndarray   # iterations actually run per instance (int32)
+    # OSQP §3.5 infeasibility certificates (prim_inf_tol / dual_inf_tol,
+    # setPrimal/DualInfeasibilityTolerance, DecentralEst.cpp:215-216);
+    # None where the problem class is feasible by construction (tridiag path)
+    pinf: object = None  # bool per instance — primal infeasibility detected
+    dinf: object = None  # bool per instance — dual infeasibility detected
 
 
 def _active_targets(z, lb, ub):
@@ -80,7 +127,7 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
         x⁺ = αx̃ + (1−α)x
         z̃ = Ax̃;  z⁺ = clip(αz̃ + (1−α)z + y/ρ, l, u)
         y⁺ = y + ρ(αz̃ + (1−α)z − z⁺)
-    Returns (x, z, y, prim_res, dual_res).
+    Returns ADMMResult(x, z, y, prim_res, dual_res, iters).
     """
     n = P.shape[-1]
     sigma, alpha = settings.sigma, settings.alpha
@@ -92,35 +139,100 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
     z = jnp.einsum("...ij,...j->...i", A, x) if z0 is None else z0
     y = jnp.zeros_like(z) if y0 is None else y0
     rho0 = jnp.asarray(settings.rho, P.dtype)
+    batch_shape = jnp.broadcast_shapes(x.shape[:-1], z.shape[:-1])
+    done0 = jnp.zeros(batch_shape, bool)
+    it0 = jnp.zeros(batch_shape, jnp.int32)
+    check = settings.abs_tol > 0.0 or settings.rel_tol > 0.0
+
+    def freeze(new_val, old_val, done):
+        d = done[..., None]
+        return jnp.where(d, old_val, new_val)
 
     def body(carry, it):
-        x, z, y, rho = carry
-        Kinv = smallmat.gj_inv(P + sigma * eye + rho * AtA)
-        rhs = sigma * x - q + jnp.einsum("...ij,...j->...i", At, rho * z - y)
+        x, z, y, rho, done, iters, pinf, dinf = carry
+        rho_v = rho[..., None]           # broadcast over the variable axis
+        Kinv = smallmat.gj_inv(P + sigma * eye + rho[..., None, None] * AtA)
+        rhs = sigma * x - q + jnp.einsum("...ij,...j->...i", At, rho_v * z - y)
         x_t = jnp.einsum("...ij,...j->...i", Kinv, rhs)
-        x_n = alpha * x_t + (1 - alpha) * x
+        x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
         z_t = jnp.einsum("...ij,...j->...i", A, x_t)
         z_r = alpha * z_t + (1 - alpha) * z
-        z_n = jnp.clip(z_r + y / rho, l, u)
-        y_n = y + rho * (z_r - z_n)
-        if settings.adaptive_rho:
-            Ax = jnp.einsum("...ij,...j->...i", A, x_n)
-            prim = jnp.max(jnp.abs(Ax - z_n), axis=-1)
-            dual_v = (jnp.einsum("...ij,...j->...i", P, x_n) + q
-                      + jnp.einsum("...ij,...j->...i", At, y_n))
-            dual = jnp.max(jnp.abs(dual_v), axis=-1)
-            ps = jnp.maximum(jnp.max(jnp.abs(Ax), axis=-1),
-                             jnp.max(jnp.abs(z_n), axis=-1))
-            ds = jnp.maximum(
-                jnp.max(jnp.abs(jnp.einsum("...ij,...j->...i", P, x_n)), axis=-1),
-                jnp.max(jnp.abs(q), axis=-1),
-            )
-            rho_new = _rho_update(rho, prim, dual, ps, ds)
-            rho = jnp.where(it % settings.rho_update_every == 0, rho_new, rho)
-        return (x_n, z_n, y_n, rho), None
+        z_n = freeze(jnp.clip(z_r + y / rho_v, l, u), z, done)
+        y_n = freeze(y + rho_v * (z_r - z_n), y, done)
+        iters = iters + (~done).astype(jnp.int32)
 
-    (x, z, y, _), _ = jax.lax.scan(
-        body, (x, z, y, rho0), jnp.arange(1, settings.iters + 1)
+        # OSQP §3.5 infeasibility certificates on the iterate deltas
+        dy = y_n - y
+        dx = x_n - x
+        ndy = jnp.max(jnp.abs(dy), axis=-1)
+        ndx = jnp.max(jnp.abs(dx), axis=-1)
+        Atdy = jnp.einsum("...ij,...j->...i", At, dy)
+        # support term uᵀ(δy)₊ + lᵀ(δy)₋ with ±inf bounds: a push against an
+        # infinite bound can never certify infeasibility
+        pos, neg = jnp.maximum(dy, 0.0), jnp.minimum(dy, 0.0)
+        sup = jnp.sum(
+            jnp.where(jnp.isfinite(u), u * pos, jnp.where(pos > 0, jnp.inf, 0.0))
+            + jnp.where(jnp.isfinite(l), l * neg, jnp.where(neg < 0, jnp.inf, 0.0)),
+            axis=-1,
+        )
+        eps_p = settings.prim_inf_tol
+        pcert = (
+            (ndy > 0)
+            & (jnp.max(jnp.abs(Atdy), axis=-1) <= eps_p * ndy)
+            & (sup <= -eps_p * ndy)
+        )
+        Pdx = jnp.einsum("...ij,...j->...i", P, dx)
+        Adx = jnp.einsum("...ij,...j->...i", A, dx)
+        eps_d = settings.dual_inf_tol
+        cone_ok = jnp.all(
+            jnp.where(
+                jnp.isfinite(u) & jnp.isfinite(l),
+                jnp.abs(Adx) <= eps_d * ndx[..., None],
+                jnp.where(
+                    jnp.isfinite(u), Adx <= eps_d * ndx[..., None],
+                    jnp.where(jnp.isfinite(l), Adx >= -eps_d * ndx[..., None],
+                              True),
+                ),
+            ),
+            axis=-1,
+        )
+        dcert = (
+            (ndx > 0)
+            & (jnp.max(jnp.abs(Pdx), axis=-1) <= eps_d * ndx)
+            & (jnp.sum(q * dx, axis=-1) <= -eps_d * ndx)
+            & cone_ok
+        )
+        pinf = pinf | (pcert & ~done)
+        dinf = dinf | (dcert & ~done)
+        Ax = jnp.einsum("...ij,...j->...i", A, x_n)
+        Px = jnp.einsum("...ij,...j->...i", P, x_n)
+        Aty = jnp.einsum("...ij,...j->...i", At, y_n)
+        prim = jnp.max(jnp.abs(Ax - z_n), axis=-1)
+        dual = jnp.max(jnp.abs(Px + q + Aty), axis=-1)
+        ps = jnp.maximum(jnp.max(jnp.abs(Ax), axis=-1),
+                         jnp.max(jnp.abs(z_n), axis=-1))
+        ds = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px), axis=-1),
+                        jnp.max(jnp.abs(Aty), axis=-1)),
+            jnp.max(jnp.abs(q), axis=-1),
+        )
+        if check:
+            # OSQP §3.4 converged-freeze (absTol/relTol, DecentralEst.cpp:213-214)
+            done = done | (
+                (prim <= settings.abs_tol + settings.rel_tol * ps)
+                & (dual <= settings.abs_tol + settings.rel_tol * ds)
+            )
+        if settings.adaptive_rho:
+            rho_new = _rho_update(rho, prim, dual, ps, ds)
+            rho = jnp.where((it % settings.rho_update_every == 0) & ~done,
+                            rho_new, rho)
+        return (x_n, z_n, y_n, rho, done, iters, pinf, dinf), None
+
+    (x, z, y, _, done, iters, pinf, dinf), _ = jax.lax.scan(
+        body,
+        (x, z, y, rho0 * jnp.ones(batch_shape, P.dtype), done0, it0,
+         done0, done0),
+        jnp.arange(1, settings.iters + 1)
     )
     if settings.polish:
         act, target = _active_targets(z, l, u)
@@ -140,7 +252,7 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
         ),
         axis=-1,
     )
-    return x, z, y, prim, dual
+    return ADMMResult(x, z, y, prim, dual, iters, pinf=pinf, dinf=dinf)
 
 
 def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
@@ -152,7 +264,7 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
     and each ADMM iteration costs one block-Thomas sweep. ±inf bounds make a
     dimension unconstrained (the reference's placeholder-bound idiom).
 
-    Returns (x (K,...,s), z, y, prim_res, dual_res).
+    Returns ADMMResult(x (K,...,s), z, y, prim_res, dual_res, iters).
     """
     K, s = D.shape[0], D.shape[-1]
     sigma, alpha = settings.sigma, settings.alpha
@@ -167,31 +279,52 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
     x = jnp.zeros_like(r)
     z = x if z0 is None else z0
     y = jnp.zeros_like(r) if y0 is None else y0
-    rho0 = jnp.asarray(settings.rho, D.dtype)
+    batch_shape = r.shape[1:-1]
+    rho0 = jnp.asarray(settings.rho, D.dtype) * jnp.ones(batch_shape, D.dtype)
+    done0 = jnp.zeros(batch_shape, bool)
+    it0 = jnp.zeros(batch_shape, jnp.int32)
+    check = settings.abs_tol > 0.0 or settings.rel_tol > 0.0
+
+    def freeze(new_val, old_val, done):
+        # done has the inner batch shape; iterates are (K, ..., s)
+        d = done[None, ..., None]
+        return jnp.where(d, old_val, new_val)
 
     def body(carry, it):
-        x, z, y, rho = carry
-        D_aug = D + (sigma + rho) * eye
-        rhs = r + sigma * x + rho * z - y
+        x, z, y, rho, done, iters = carry
+        rho_v = rho[..., None]              # (...,1): over the state axis
+        D_aug = D + (sigma + rho)[..., None, None] * eye
+        rhs = r + sigma * x + rho_v * z - y
         x_t = tridiag.solve(D_aug, U, rhs, valid=valid)
-        x_n = alpha * x_t + (1 - alpha) * x
+        x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
         z_r = alpha * x_t + (1 - alpha) * z
-        z_n = jnp.clip(z_r + y / rho, lb, ub)
-        y_n = y + rho * (z_r - z_n)
+        z_n = freeze(jnp.clip(z_r + y / rho_v, lb, ub), z, done)
+        y_n = freeze(y + rho_v * (z_r - z_n), y, done)
+        iters = iters + (~done).astype(jnp.int32)
+        prim = jnp.max(jnp.abs(x_n - z_n), axis=(0, -1))
+        Tx = T_apply_(x_n)
+        dual = jnp.max(jnp.abs(Tx - r + y_n), axis=(0, -1))
+        ps = jnp.maximum(jnp.max(jnp.abs(x_n), axis=(0, -1)),
+                         jnp.max(jnp.abs(z_n), axis=(0, -1)))
+        ds = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Tx), axis=(0, -1)),
+                        jnp.max(jnp.abs(y_n), axis=(0, -1))),
+            jnp.max(jnp.abs(r), axis=(0, -1)),
+        )
+        if check:
+            # OSQP §3.4 converged-freeze (absTol/relTol, DecentralEst.cpp:213-214)
+            done = done | (
+                (prim <= settings.abs_tol + settings.rel_tol * ps)
+                & (dual <= settings.abs_tol + settings.rel_tol * ds)
+            )
         if settings.adaptive_rho:
-            prim = jnp.max(jnp.abs(x_n - z_n), axis=(0, -1))
-            Tx = T_apply_(x_n)
-            dual = jnp.max(jnp.abs(Tx - r + y_n), axis=(0, -1))
-            ps = jnp.maximum(jnp.max(jnp.abs(x_n), axis=(0, -1)),
-                             jnp.max(jnp.abs(z_n), axis=(0, -1)))
-            ds = jnp.maximum(jnp.max(jnp.abs(Tx), axis=(0, -1)),
-                             jnp.max(jnp.abs(r), axis=(0, -1)))
             rho_new = _rho_update(rho, prim, dual, ps, ds)
-            rho = jnp.where(it % settings.rho_update_every == 0, rho_new, rho)
-        return (x_n, z_n, y_n, rho), None
+            rho = jnp.where((it % settings.rho_update_every == 0) & ~done,
+                            rho_new, rho)
+        return (x_n, z_n, y_n, rho, done, iters), None
 
-    (x, z, y, _), _ = jax.lax.scan(
-        body, (x, z, y, rho0), jnp.arange(1, settings.iters + 1)
+    (x, z, y, _, done, iters), _ = jax.lax.scan(
+        body, (x, z, y, rho0, done0, it0), jnp.arange(1, settings.iters + 1)
     )
 
     if settings.polish:
@@ -216,4 +349,4 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
 
     prim = jnp.max(jnp.abs(x - z), axis=(0, -1))
     dual = jnp.max(jnp.abs(T_apply(x) - r + y), axis=(0, -1))
-    return x, z, y, prim, dual
+    return ADMMResult(x, z, y, prim, dual, iters)

@@ -151,7 +151,10 @@ def run_mhe(
             tick_pre=jnp.zeros(T_total, jnp.int32),
             tick_now=jnp.zeros(T_total, jnp.int32),
         )
-    R_seq = data.R_sb
+    # pre-gather the orientation at each VO pair's previous-frame tick (the
+    # R_vo_sb_pre lookup of DecentralEst.cpp:915) so the scan carries no
+    # history ring — one gather over the whole log instead of T dynamic slices
+    R_pre_seq = data.R_sb[vo.tick_pre]
 
     d0 = jax.tree.map(lambda a: a[0], data)
     st = mhe.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot, d0.J_foot,
@@ -161,15 +164,15 @@ def run_mhe(
     v0 = kf.body_velocity(x0, d0.R_sb, d0.omega_b, lever)
 
     def scan_step(st, inp):
-        d, v = inp
+        d, v, R_pre = inp
         st, (x_T, _) = mhe.step(
             c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
-            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_seq,
+            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_pre,
         )
         v_b = kf.body_velocity(x_T, d.R_sb, d.omega_b, lever)
         return st, (x_T, v_b)
 
-    rest = jax.tree.map(lambda a: a[1:], (data, vo))
+    rest = jax.tree.map(lambda a: a[1:], (data, vo, R_pre_seq))
     _, (x_seq, v_seq) = jax.lax.scan(scan_step, st, rest)
     x_seq = jnp.concatenate([x0[None], x_seq], axis=0)
     v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
@@ -206,7 +209,7 @@ def run_mhe_lanes(
             tick_pre=jnp.zeros(T_total, jnp.int32),
             tick_now=jnp.zeros(T_total, jnp.int32),
         )
-    R_seq = data.R_sb  # (T,3,3,B)
+    R_pre_seq = data.R_sb[vo.tick_pre]  # (T,3,3,B) pre-frame orientations
     B = data.accel_b.shape[-1]
     lever_l = jnp.broadcast_to(lever[:, None], (3, B))
 
@@ -220,19 +223,153 @@ def run_mhe_lanes(
     v0 = body_vel(x0, d0.R_sb, d0.omega_b)
 
     def scan_step(st, inp):
-        d, v = inp
+        d, v, R_pre = inp
         st, (x_T, _) = mhe_lanes.step(
             c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
-            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_seq,
+            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_pre,
         )
         v_b = body_vel(x_T, d.R_sb, d.omega_b)
         return st, (x_T, v_b)
 
-    rest = jax.tree.map(lambda a: a[1:], (data, vo))
+    rest = jax.tree.map(lambda a: a[1:], (data, vo, R_pre_seq))
     _, (x_seq, v_seq) = jax.lax.scan(scan_step, st, rest)
     x_seq = jnp.concatenate([x0[None], x_seq], axis=0)   # (T,s,B)
     v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
     return jnp.moveaxis(x_seq, -1, 1), jnp.moveaxis(v_seq, -1, 1)
+
+
+class EKFBlocks(NamedTuple):
+    """EKF-rate inputs regrouped per MHE tick (the 500/200 Hz sub-stepping):
+    tick k owns EKF substeps bounds[k]..bounds[k+1]-1, padded to S_max slots
+    with ``valid`` masking the padding. vo_* carry the delayed VO quaternion
+    events at EKF resolution (shared across a fleet — one camera log)."""
+
+    gyro: jnp.ndarray           # (T,S,3) or lanes (T,S,3,B)
+    accel: jnp.ndarray          # (T,S,3) or lanes (T,S,3,B)
+    valid: jnp.ndarray          # (T,S) bool, shared
+    vo_active: jnp.ndarray      # (T,S) bool, shared
+    vo_q: jnp.ndarray           # (T,S,4), shared
+    vo_steps_back: jnp.ndarray  # (T,S) int32, shared
+
+
+def ekfblocks_from_log(log, dtype=jnp.float64) -> EKFBlocks:
+    """Pack a log's EKF-rate streams into per-MHE-tick padded blocks."""
+    substeps = np.asarray(log.ekf_substeps, np.int64)
+    T = substeps.shape[0]
+    S = int(substeps.max()) if T else 0
+    bounds = np.concatenate([[0], np.cumsum(substeps)])
+    T_ekf = int(bounds[-1])
+
+    def blk(src, shape_tail, fill=0):
+        out = np.full((T, S) + shape_tail, fill, dtype=np.asarray(src).dtype)
+        for k in range(T):
+            n = substeps[k]
+            out[k, :n] = np.asarray(src)[bounds[k]:bounds[k] + n]
+        return out
+
+    valid = np.zeros((T, S), bool)
+    for k in range(T):
+        valid[k, : substeps[k]] = True
+    return EKFBlocks(
+        gyro=jnp.asarray(blk(log.ekf_gyro, (3,)), dtype),
+        accel=jnp.asarray(blk(log.ekf_accel, (3,)), dtype),
+        valid=jnp.asarray(valid),
+        vo_active=jnp.asarray(blk(np.asarray(log.ekf_vo_active, bool), ())),
+        vo_q=jnp.asarray(blk(log.ekf_vo_q, (4,)), dtype),
+        vo_steps_back=jnp.asarray(
+            blk(np.asarray(log.ekf_vo_steps_back, np.int64), ()), jnp.int32),
+    )
+
+
+PIPELINE_R_RING = 32  # per-tick orientation history carried for the VO
+# R_pre lookup (DecentralEst.cpp:915); must exceed the VO latency in ticks
+
+
+@full_precision
+def run_pipeline_lanes(
+    params: EstimatorParams,
+    ekf_params,
+    data: TickData,
+    ekf_blocks: EKFBlocks,
+    vo: Optional[VOData] = None,
+    lever_arm=kf.DEFAULT_LEVER_ARM,
+    dtype=jnp.float32,
+    consts=None,
+    ekf_ring_len: int = 16,
+):
+    """Fused EKF(500 Hz) → MHE(200 Hz) fleet replay in lanes layout — the
+    reference's full two-process pipeline (go1_launch.py:18-63: orien_ekf.cpp
+    timer → imu/filter → EstSub.cpp timerCallback) as ONE jitted scan.
+
+    Per MHE tick: run that tick's EKF substeps (ekf_lanes.substep_block,
+    masked padding), convert the fused quaternion to R_sb, push it into a
+    PIPELINE_R_RING-tick orientation ring (the rotation stack the reference
+    indexes for R_vo_sb_pre), then run the lanes MHE tick with that
+    orientation. ``data.R_sb`` is IGNORED — orientation comes from the EKF.
+
+    ``data`` fields are lanes-layout time-leading (T,...,B); ``ekf_blocks``
+    gyro/accel are lanes (T,S,3,B). Returns (x_seq (T,B,s), v_b (T,B,3),
+    q_seq (T,4,B) fused quaternions).
+    """
+    from decentralized_ekf_mhe_tpu.ops import ekf_lanes, lanes, mhe, mhe_lanes
+
+    c = consts if consts is not None else mhe.make_consts(params, dtype)
+    ec = ekf_lanes.make_consts(ekf_params, dtype)
+    lever = jnp.asarray(lever_arm, dtype)
+    T_total = data.accel_b.shape[0]
+    B = data.accel_b.shape[-1]
+    if vo is None:
+        vo = VOData(
+            active=jnp.zeros(T_total, bool),
+            dp_body=jnp.zeros((T_total, 3), dtype),
+            tick_pre=jnp.zeros(T_total, jnp.int32),
+            tick_now=jnp.zeros(T_total, jnp.int32),
+        )
+    lever_l = jnp.broadcast_to(lever[:, None], (3, B))
+
+    def body_vel(x_T, R_sb, omega_b):
+        return lanes.mv(R_sb, x_T[3:6] + lanes.cross(omega_b, lever_l))
+
+    # tick 0: EKF substeps, then the MHE init (InitializeMHE at T==0,
+    # EstSub.cpp:65-70)
+    ekf_st = ekf_lanes.init_state(ekf_params, B, ring_len=ekf_ring_len,
+                                  dtype=dtype)
+    eb0 = jax.tree.map(lambda a: a[0], ekf_blocks)
+    ekf_st = ekf_lanes.substep_block(
+        ekf_st, eb0.gyro, eb0.accel, eb0.valid, eb0.vo_active, eb0.vo_q,
+        eb0.vo_steps_back, ec)
+    R0 = ekf_lanes.to_rot(ekf_st.q)
+    d0 = jax.tree.map(lambda a: a[0], data)
+    mhe_st = mhe_lanes.init(c, R0, d0.accel_b, d0.omega_b, d0.p_foot,
+                            d0.J_foot, d0.dq, d0.contact, dtype=dtype)
+    x0 = mhe_lanes.solve_window(c, mhe_st)[c.N - 1]
+    v0 = body_vel(x0, R0, d0.omega_b)
+    R_ring = jnp.zeros((PIPELINE_R_RING, 3, 3, B), dtype).at[0].set(R0)
+
+    def scan_step(carry, inp):
+        ekf_st, mhe_st, R_ring = carry
+        d, eb, v, t = inp
+        ekf_st = ekf_lanes.substep_block(
+            ekf_st, eb.gyro, eb.accel, eb.valid, eb.vo_active, eb.vo_q,
+            eb.vo_steps_back, ec)
+        R_sb = ekf_lanes.to_rot(ekf_st.q)
+        R_ring = R_ring.at[jnp.mod(t, PIPELINE_R_RING)].set(R_sb)
+        vo_R_pre = R_ring[jnp.mod(v.tick_pre, PIPELINE_R_RING)]
+        mhe_st, (x_T, _) = mhe_lanes.step(
+            c, mhe_st, R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
+            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, vo_R_pre,
+        )
+        v_b = body_vel(x_T, R_sb, d.omega_b)
+        return (ekf_st, mhe_st, R_ring), (x_T, v_b, ekf_st.q)
+
+    ticks = jnp.arange(1, T_total, dtype=jnp.int32)
+    rest = jax.tree.map(lambda a: a[1:], (data, ekf_blocks, vo))
+    _, (x_seq, v_seq, q_seq) = jax.lax.scan(
+        scan_step, (ekf_st, mhe_st, R_ring), rest + (ticks,))
+    x_seq = jnp.concatenate([x0[None], x_seq], axis=0)   # (T,s,B)
+    v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
+    q_seq = jnp.concatenate([ekf_st.q[None], q_seq], axis=0)
+    return (jnp.moveaxis(x_seq, -1, 1), jnp.moveaxis(v_seq, -1, 1), q_seq)
 
 
 @full_precision

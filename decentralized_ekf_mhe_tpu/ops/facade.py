@@ -27,7 +27,7 @@ class DecentralizedEstimator:
 
     def __init__(self, params: EstimatorParams, dtype=jnp.float32,
                  x_lb=None, x_ub=None, use_pallas: bool = False,
-                 lever_arm=kf.DEFAULT_LEVER_ARM, history_ticks: int = 4096):
+                 lever_arm=kf.DEFAULT_LEVER_ARM, history_ticks: int = 256):
         self.params = params
         self.dtype = dtype
         self.est_type = params.est_type
@@ -36,6 +36,11 @@ class DecentralizedEstimator:
         self._nc = assembly.make_noise_consts(params, dtype)
         self._A_meas = assembly.a_meas(params, dtype)
         self._lever = jnp.asarray(lever_arm, dtype)
+        # Bounded host-side orientation ring for the VO R_pre lookup
+        # (DecentralEst.cpp:915). Only the single (3,3) pre-frame rotation is
+        # shipped to device per update; tick indices stay ABSOLUTE (no modular
+        # aliasing past the ring length — the ring only has to cover the VO
+        # pipeline latency, a handful of ticks).
         self._R_hist = np.zeros((history_ticks, 3, 3))
         self._state = None
         self._kf_prev = None
@@ -82,11 +87,19 @@ class DecentralizedEstimator:
                     lambda st, *a_, : mhe.step(self._c, st, *a_)
                 )
             vo_dp = a(vo_dp) if vo_dp is not None else jnp.zeros(3, self.dtype)
-            R_seq = jnp.asarray(self._R_hist, self.dtype)
+            if vo_active and self.T - int(vo_tick_pre) >= len(self._R_hist):
+                raise ValueError(
+                    f"VO previous frame (tick {int(vo_tick_pre)}) predates the "
+                    f"{len(self._R_hist)}-tick orientation history at tick "
+                    f"{self.T}; raise history_ticks"
+                )
+            R_pre = jnp.asarray(
+                self._R_hist[int(vo_tick_pre) % len(self._R_hist)], self.dtype
+            )
             self._state, (x_T, _) = self._mhe_step_jit(
                 self._state, *args, bool(vo_active), vo_dp,
-                jnp.asarray(int(vo_tick_pre) % len(self._R_hist), jnp.int32),
-                jnp.asarray(int(vo_tick_now), jnp.int32), R_seq,
+                jnp.asarray(int(vo_tick_pre), jnp.int32),
+                jnp.asarray(int(vo_tick_now), jnp.int32), R_pre,
             )
             self.x = x_T
         else:

@@ -219,19 +219,25 @@ def _marginalize(c: MHEConsts, st: MHEState):
     return M_new, n_new
 
 
-def _apply_vo(c: MHEConsts, st: MHEState, R_seq, vo_dp, vo_tick_pre, vo_tick_now):
+def _apply_vo(c: MHEConsts, st: MHEState, vo_R_pre, vo_dp, vo_tick_pre, vo_tick_now):
     """VO sync + Bezier + masked equality activation (GetMeasurement's VO
     block, DecentralEst.cpp:883-945, + UpdateVOConstraints :987-1009).
 
     Runs at tick T = st.T+1 against the *current* window layout (before the
     marginalize/shift/append of this tick), matching the reference's
     UpdateMHE → UpdateVOConstraints → marginalizeQP order.
+
+    ``vo_R_pre`` is the estimator orientation at tick ``vo_tick_pre`` — the
+    R_vo_sb_pre of DecentralEst.cpp:915 — supplied by the caller (the scan
+    drivers gather it from the orientation sequence; the stateful facade keeps
+    a bounded host-side ring), so the kernel itself never indexes history and
+    tick counters stay absolute.
     """
     N = c.N
     dt = jnp.asarray(c.dt, st.prev_accel_s.dtype)
     T = st.T + 1
 
-    R_pre = R_seq[vo_tick_pre]
+    R_pre = vo_R_pre
     p_accum = st.bez.p_accum + jnp.einsum("...ij,...j->...i", R_pre, vo_dp)
     bez_c = st.bez._replace(p_accum=p_accum)
     bez_c = bezier.add_way_point(bez_c, p_accum, vo_tick_now.astype(dt.dtype) * dt)
@@ -337,9 +343,9 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
     else:
         from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
 
-        x, _, _, _, _ = admm_lib.solve_box_tridiag(
+        x = admm_lib.solve_box_tridiag(
             Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl
-        )
+        ).x
     return jnp.moveaxis(x, 0, -2)
 
 
@@ -349,7 +355,7 @@ def step(
     st: MHEState,
     R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact,
     vo_active, vo_dp, vo_tick_pre, vo_tick_now,
-    R_seq,
+    vo_R_pre,
 ):
     """One estimator tick T = st.T+1.
 
@@ -357,6 +363,9 @@ def step(
     append — they touch disjoint window slots): VO bound scatter →
     marginalize-if-full → shift window and append the new interval (built
     from the previous tick's inputs) and measurement (current tick) → solve.
+
+    ``vo_R_pre`` is the orientation at tick ``vo_tick_pre`` (see _apply_vo);
+    unused when ``vo_active`` is false — pass any (...,3,3) placeholder.
 
     Returns (new_state, (x_T, x_window)).
     """
@@ -368,7 +377,7 @@ def step(
 
     st = jax.lax.cond(
         jnp.asarray(vo_active, bool),
-        lambda s_: _apply_vo(c, s_, R_seq, vo_dp, vo_tick_pre, vo_tick_now),
+        lambda s_: _apply_vo(c, s_, vo_R_pre, vo_dp, vo_tick_pre, vo_tick_now),
         lambda s_: s_,
         st,
     )

@@ -130,17 +130,18 @@ def _marginalize(c: MHEConsts, st: MHEStateL):
     return M_new, n_new
 
 
-def _apply_vo(c: MHEConsts, st: MHEStateL, R_seq, vo_dp, vo_tick_pre, vo_tick_now):
+def _apply_vo(c: MHEConsts, st: MHEStateL, vo_R_pre, vo_dp, vo_tick_pre, vo_tick_now):
     """Lanes transcription of mhe._apply_vo (VO sync + Bezier + masked
     activation, DecentralEst.cpp:883-945, 987-1009). The VO schedule
     (ticks, dp) is shared across the fleet; the accumulated path differs per
-    instance through each instance's orientation stream R_seq (T,3,3,B)."""
+    instance through each instance's pre-frame orientation vo_R_pre (3,3,B),
+    gathered from the orientation stream by the scan driver."""
     N = c.N
     dt = jnp.asarray(c.dt, st.prev_accel_s.dtype)
     T = st.T + 1
     B = st.prev_accel_s.shape[-1]
 
-    R_pre = R_seq[vo_tick_pre]                       # (3,3,B)
+    R_pre = vo_R_pre                                 # (3,3,B)
     dp = jnp.broadcast_to(vo_dp[:, None], (3, B))
     inc = lanes.mv(R_pre, dp)                        # (3,B)
     p_accum = st.bez.p_accum + inc.T                 # carry is (B,3)
@@ -243,10 +244,11 @@ def step(
     st: MHEStateL,
     R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact,
     vo_active, vo_dp, vo_tick_pre, vo_tick_now,
-    R_seq,
+    vo_R_pre,
 ):
     """One estimator tick in lanes layout — mirror of mhe.step.
-    Returns (new_state, (x_T (s,B), x_window (N,s,B)))."""
+    ``vo_R_pre`` (3,3,B) is the orientation at tick vo_tick_pre (unused when
+    vo_active is false). Returns (new_state, (x_T (s,B), x_window (N,s,B)))."""
     N = c.N
     p = _params_view(c)
     vo_dp = jnp.asarray(vo_dp, st.prev_accel_s.dtype)
@@ -255,7 +257,7 @@ def step(
 
     st = jax.lax.cond(
         jnp.asarray(vo_active, bool),
-        lambda s_: _apply_vo(c, s_, R_seq, vo_dp, vo_tick_pre, vo_tick_now),
+        lambda s_: _apply_vo(c, s_, vo_R_pre, vo_dp, vo_tick_pre, vo_tick_now),
         lambda s_: s_,
         st,
     )

@@ -153,17 +153,17 @@ class QPProblem:
             sol = np.linalg.solve(KKT, rhs)
             return sol[: self._nvar], {"method": "kkt", "iters": 0}
         settings = admm.ADMMSettings.from_osqp(osqp_params or OSQPParams(), iters)
-        x, z, y, prim, dual = admm.solve_box_qp(
+        res = admm.solve_box_qp(
             jnp.asarray(P, dtype), jnp.asarray(q, dtype), jnp.asarray(A, dtype),
             jnp.asarray(np.where(np.abs(l) >= INFTY, -np.inf, l), dtype),
             jnp.asarray(np.where(np.abs(u) >= INFTY, np.inf, u), dtype),
             settings,
         )
-        return np.asarray(x), {
+        return np.asarray(res.x), {
             "method": "admm",
-            "iters": settings.iters,
-            "prim_res": float(prim),
-            "dual_res": float(dual),
+            "iters": int(res.iters),
+            "prim_res": float(res.prim),
+            "dual_res": float(res.dual),
         }
 
     def get_solution(self, x, name: str):

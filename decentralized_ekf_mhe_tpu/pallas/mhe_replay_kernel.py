@@ -16,7 +16,12 @@ window state RESIDENT IN VMEM (state enters/leaves HBM once per chunk via
 input_output_aliases, not once per tick). The ring buffer is addressed by a
 circular base index (base_t = t mod N) instead of rolling, so a shift is
 just two slot writes. Semantics are identical to ops/mhe_lanes.step —
-equivalence vs the scanned path is asserted in tests/test_megakernel.py.
+equivalence vs the scanned path is asserted in tests/test_megakernel.py:
+exact (<1e-9) at float64; at float32 op-reordering roundoff compounds
+through the recursive arrival-cost marginalization, so agreement with the
+*scanned f32 path* is loose (~1e-2 relative after tens of ticks) while both
+f32 paths stay equally close to the f64 oracle (velocity-RMSE delta ≪1e-3 —
+the production accuracy gate, asserted in the same test file).
 
 Layout: grid over B lane-tiles of 128; every window tensor is (N, ..., 128)
 per tile; all small-matrix algebra is fully unrolled VPU arithmetic (see
@@ -661,12 +666,17 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     )
 
     kernel = _make_kernel(kc, Tc, dtype)
+    # alias the 15 window-state inputs (positions 14..28) onto the matching
+    # state outputs (positions 1..15): the state enters/leaves HBM once per
+    # chunk with no extra copy; the scalar SMEM carries are copied (tiny)
+    aliases = {14 + i: 1 + i for i in range(15)}
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
         jnp.asarray([t0], jnp.int32),

@@ -39,6 +39,49 @@ def perturb_log_batch(data: estimator.TickData, B: int, key, noise_scale=1.0,
     return d
 
 
+def perturb_ekf_blocks(eb: estimator.EKFBlocks, B: int, key, noise_scale=1.0,
+                       dtype=jnp.float32) -> estimator.EKFBlocks:
+    """Tile one log's EKF-rate blocks into a B-instance lanes-layout fleet
+    with fresh gyro/accel noise draws (the EKF half of perturb_log_batch);
+    vo/valid metadata stay shared (one camera log, one clock)."""
+    kg, ka = jax.random.split(key)
+    T, S = eb.gyro.shape[:2]
+
+    def tile_lanes(a):
+        return jnp.broadcast_to(a.astype(dtype)[..., None], a.shape + (B,))
+
+    return eb._replace(
+        gyro=tile_lanes(eb.gyro)
+        + noise_scale * 0.005 * jax.random.normal(kg, (T, S, 3, B), dtype),
+        accel=tile_lanes(eb.accel)
+        + noise_scale * 0.02 * jax.random.normal(ka, (T, S, 3, B), dtype),
+        vo_q=eb.vo_q.astype(dtype),
+    )
+
+
+def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
+                               dtype=jnp.float32, use_pallas=True,
+                               ekf_ring_len: int = 16):
+    """The full-pipeline fleet path: EKF(500 Hz) → MHE(200 Hz) fused in one
+    lanes-layout scan (estimator.run_pipeline_lanes) — the reference's actual
+    production pipeline (go1_launch.py:18-63), batched.
+
+    f(TickData[T,B,...], EKFBlocks lanes, VOData) -> (x[T,B,s], v[T,B,3],
+    q[T,4,B]). ``data.R_sb`` is ignored (orientation comes from the EKF)."""
+    from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
+
+    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+
+    def run(data_tb: estimator.TickData, eb: estimator.EKFBlocks,
+            vo: estimator.VOData):
+        data_l = tickdata_to_lanes(data_tb)
+        return estimator.run_pipeline_lanes(
+            params, ekf_params, data_l, eb, vo=vo, dtype=dtype, consts=c,
+            ekf_ring_len=ekf_ring_len)
+
+    return run
+
+
 def mhe_window_solve_batch(params: EstimatorParams, dtype=jnp.float32):
     """Return a jittable f(batched MHEState) -> (B, N, s) window solve — the
     pure QP kernel used for solves/s benchmarking."""
@@ -95,15 +138,42 @@ def tickdata_to_lanes(data_tb: estimator.TickData) -> estimator.TickData:
 
 
 def make_lanes_fleet_runner(params: EstimatorParams, dtype=jnp.float32,
-                            use_pallas=True):
+                            use_pallas=True, use_megakernel=False,
+                            megakernel_chunk=64,
+                            lever_arm=kf_ops.DEFAULT_LEVER_ARM):
     """The fastest fleet path: f(TickData[T,B,...], VOData) -> (x[T,B,s],
     v[T,B,3]) with the whole MHE state and assembly in instance-on-lanes
     layout (ops/mhe_lanes.py) and the window solve in the Pallas kernel,
-    with zero layout transposes inside the scan. ~6x the fused standard-
-    layout runner at B=1024 on v5e."""
-    from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
+    with zero layout transposes inside the scan.
+
+    ``use_megakernel=True`` routes the whole per-tick pipeline (VO ingestion,
+    marginalization, assembly, window solve) through the fused Pallas
+    mega-kernel (pallas/mhe_replay_kernel.py) in VMEM-resident chunks of
+    ``megakernel_chunk`` ticks instead of a lax.scan of XLA ops — equivalence
+    is asserted in tests/test_megakernel.py and both paths are A/B-timed in
+    bench.py.
+    """
+    from decentralized_ekf_mhe_tpu.ops import lanes, mhe as mhe_lib
 
     c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+
+    if use_megakernel:
+        from decentralized_ekf_mhe_tpu.pallas import mhe_replay_kernel as mrk
+
+        lever = jnp.asarray(lever_arm, dtype)
+
+        def run(data_tb: estimator.TickData, vo: estimator.VOData):
+            data_l = tickdata_to_lanes(data_tb)
+            x = mrk.replay(c, data_l, vo, dtype=dtype, chunk=megakernel_chunk)
+            # lever-arm body velocity (DecentralEst.cpp:183-185), vectorized
+            # over the whole (T, ..., B) result outside the kernel
+            B = data_l.accel_b.shape[-1]
+            lever_l = jnp.broadcast_to(lever[:, None], (3, B))
+            v = lanes.mv(data_l.R_sb,
+                         x[:, 3:6] + lanes.cross(data_l.omega_b, lever_l))
+            return jnp.moveaxis(x, -1, 1), jnp.moveaxis(v, -1, 1)
+
+        return run
 
     def run(data_tb: estimator.TickData, vo: estimator.VOData):
         data_l = tickdata_to_lanes(data_tb)
@@ -260,7 +330,7 @@ def covariance_sweep(params_list, data: estimator.TickData, gt_v, mesh=None,
         def scan_step(st_, d):
             st_, (x_T, _) = mhe.step(
                 c, st_, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
-                d.contact, False, jnp.zeros(3, dtype), 0, 0, dd.R_sb,
+                d.contact, False, jnp.zeros(3, dtype), 0, 0, d.R_sb,
             )
             return st_, x_T
 

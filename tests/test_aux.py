@@ -27,7 +27,7 @@ def test_checkpoint_resume_bit_exact(tmp_path):
             d = jax.tree.map(lambda a: a[k], data)
             st, (xT, _) = mhe.step(c, st, d.R_sb, d.accel_b, d.omega_b,
                                    d.p_foot, d.J_foot, d.dq, d.contact,
-                                   False, jnp.zeros(3), 0, 0, data.R_sb)
+                                   False, jnp.zeros(3), 0, 0, d.R_sb)
             outs.append(np.asarray(xT))
         return st, outs
 

@@ -54,6 +54,43 @@ def test_facade_kf_matches_scan():
     np.testing.assert_allclose(np.stack(xs), np.asarray(x_scan), atol=1e-9)
 
 
+def test_facade_vo_past_ring_length():
+    """Regression (VERDICT r2 weak #2): with a tiny orientation history ring,
+    VO lookups far past the ring length must still read the correct R_pre —
+    tick counters stay absolute and only the bounded R ring is modular."""
+    p = _params(0, N=6)
+    T = 64
+    log = synth.generate(synth.SynthConfig(T=T, seed=6, vo_every=5,
+                                           vo_latency=2))
+    est = DecentralizedEstimator(p, dtype=jnp.float64, history_ticks=16)
+    est.initialize(*_tick_args(log, 0))
+    xs = [np.asarray(est.x)]
+    for k in range(1, T):
+        est.update(*_tick_args(log, k), vo_active=bool(log.vo_active[k]),
+                   vo_dp=log.vo_dp_body[k], vo_tick_pre=int(log.vo_tick_pre[k]),
+                   vo_tick_now=int(log.vo_tick_now[k]))
+        xs.append(np.asarray(est.x))
+    data = estimator.tickdata_from_log(log)
+    voD = estimator.vodata_from_log(log)
+    x_scan, _ = estimator.run_mhe(p, data, vo=voD)
+    np.testing.assert_allclose(np.stack(xs), np.asarray(x_scan), atol=1e-9)
+    # VO events really did land beyond the ring length
+    assert int(np.asarray(log.vo_tick_pre).max()) > 16
+
+
+def test_facade_vo_predating_ring_raises():
+    p = _params(0, N=6)
+    log = synth.generate(synth.SynthConfig(T=40, seed=6))
+    est = DecentralizedEstimator(p, dtype=jnp.float64, history_ticks=8)
+    est.initialize(*_tick_args(log, 0))
+    for k in range(1, 20):
+        est.update(*_tick_args(log, k))
+    import pytest
+    with pytest.raises(ValueError, match="predates"):
+        est.update(*_tick_args(log, 20), vo_active=True,
+                   vo_dp=np.zeros(3), vo_tick_pre=2, vo_tick_now=18)
+
+
 def test_facade_reset():
     p = _params(0)
     log = synth.generate(synth.SynthConfig(T=10, seed=3))

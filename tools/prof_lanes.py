@@ -35,7 +35,7 @@ st0 = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
 def full_step(st, d):
     st, (x, _) = mhe_lanes.step(c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot,
                                 d.J_foot, d.dq, d.contact, False,
-                                jnp.zeros(3, dtype), 0, 0, R_seq)
+                                jnp.zeros(3, dtype), 0, 0, d.R_sb)
     return st, x
 
 def scan_n(fn, st, n, skip=1):
