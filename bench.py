@@ -1,23 +1,88 @@
-"""Headline benchmark: MHE solves/s/chip at the 20-step Go1 horizon.
+"""Headline benchmark: full EKF+MHE pipeline ticks/s/chip at the Go1 config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 50_000 (the BASELINE.md north-star target for
-solves/s/chip). Supplementary numbers go to stderr.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
+where vs_baseline is value / 50_000 (the BASELINE.md north-star target for
+MHE solves/s/chip — each pipeline tick contains exactly one windowed MHE
+solve, so the units are comparable and the pipeline number is the *stricter*
+claim). Supplementary numbers go to stderr and into the JSON extras.
 
-A "solve" is one full MHE tick: window shift/append, masked VO handling,
-arrival-cost marginalization, and the exact block-tridiagonal QP solve at
-N=20, dim_state=9, dim_meas=12 — the same unit of work as one OSQP cycle in
-the reference's 200 Hz loop (EstSub.cpp:58-91). The fleet is a Monte-Carlo
-batch (BASELINE.json config 4) scanned fully on-device in float32; wall time
-is measured over whole scans with block_until_ready, so per-call dispatch
-overhead (large over the axon tunnel) is amortized to nothing.
+One "tick" is the reference's full 5 ms production cycle (go1_launch.py
+pipeline): the tick's 500 Hz EKF substeps (predict + scaled accel-correct +
+delayed-VO replay, orien_ekf.cpp:77-212), the EKF→MHE orientation handoff,
+window shift/append, masked VO handling, arrival-cost marginalization, and
+the exact block-tridiagonal QP solve at N=20 (MheSrb.cpp:351-713). The fleet
+is a Monte-Carlo batch (BASELINE.json config 4) scanned fully on-device in
+float32; wall time is measured over whole scans with a device→host fence, so
+per-call dispatch overhead (large over the axon tunnel) is amortized away.
+
+Also measured (stderr + JSON extras):
+- MHE-only fleet rate, scanned-lanes vs mega-kernel A/B (same unit of work
+  as the r01/r02 headline, for continuity)
+- state-constrained MHE rate (velocity box + OSQP-semantics ADMM with the
+  reference YAML's tolerances — README.md:5's constraint capability)
+- f32-vs-f64 accuracy gate: velocity-RMSE delta vs a CPU float64 oracle
+  (subprocess), asserted < 1e-3 (BASELINE.md north star)
+- honest latency: on-device per-tick time of a B=1 pipeline scan and
+  facade-style per-tick dispatch p50/p99 vs the 5 ms budget
 """
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+T = 200
+SKIP = 100  # RMSE warmup skip (ticks)
+
+
+def _f64_oracle(tmpdir):
+    """Run the float64 CPU oracle in a subprocess (x64 is process-global and
+    the TPU path is f32-only); returns (x_seq (T,s), gt_v (T,3))."""
+    out = os.path.join(tmpdir, "oracle.npz")
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from decentralized_ekf_mhe_tpu.io import synth
+from decentralized_ekf_mhe_tpu.ops import estimator
+from bench import _params, _ekf_params
+log = synth.generate(synth.SynthConfig(T={T}, seed=0))
+R_seq, _ = estimator.ekf_orientation_sequence(_ekf_params(), log)
+data = estimator.tickdata_from_log(log, R_sb=np.asarray(R_seq))
+vo = estimator.vodata_from_log(log)
+x, v = estimator.run_mhe(_params(), data, vo=vo)
+np.savez("{out}", x=np.asarray(x), gt_v=log.gt_v_s)
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
+    d = np.load(out)
+    return d["x"], d["gt_v"]
+
+
+def _params():
+    from decentralized_ekf_mhe_tpu.config import EstimatorParams
+
+    return EstimatorParams(
+        num_legs=4, leg_odom_type=0, rate=200, N=20,
+        p_process_std=[0.001] * 3, accel_input_std=[0.025, 0.025, 0.02],
+        gyro_input_std=[0.03] * 3, accel_bias_std=[0.07, 0.02, 0.03],
+        joint_position_std=[0.04] * 3, joint_velocity_std=[0.22] * 3,
+        foot_slide_std=[0.003] * 3, foot_swing_std=[1e7] * 3,
+        vo_p_std=[1.5e-5] * 3,
+    )
+
+
+def _ekf_params():
+    from decentralized_ekf_mhe_tpu.config import EKFParams
+
+    return EKFParams()
 
 
 def main():
@@ -27,26 +92,20 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from decentralized_ekf_mhe_tpu.config import EstimatorParams
     from decentralized_ekf_mhe_tpu.io import synth
-    from decentralized_ekf_mhe_tpu.ops import estimator
+    from decentralized_ekf_mhe_tpu.ops import estimator, mhe
     from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    on_tpu = dev.platform not in ("cpu",)
     dtype = jnp.float32
+    extras = {}
 
-    params = EstimatorParams(
-        num_legs=4, leg_odom_type=0, rate=200, N=20,
-        p_process_std=[0.001] * 3, accel_input_std=[0.025, 0.025, 0.02],
-        gyro_input_std=[0.03] * 3, accel_bias_std=[0.07, 0.02, 0.03],
-        joint_position_std=[0.04] * 3, joint_velocity_std=[0.22] * 3,
-        foot_slide_std=[0.003] * 3, foot_swing_std=[1e7] * 3,
-        vo_p_std=[1.5e-5] * 3,
-    )
+    params = _params()
+    ekf_params = _ekf_params()
+    B = int(os.environ.get("BENCH_B", "1024"))
 
-    T = 200
-    B = int(__import__("os").environ.get("BENCH_B", "1024"))
     log = synth.generate(synth.SynthConfig(T=T, seed=0))
     data = estimator.tickdata_from_log(log, dtype=dtype)
     vo = estimator.vodata_from_log(log, dtype=dtype)
@@ -54,53 +113,192 @@ def main():
     data_b = batch_lib.to_time_leading(
         batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
     )
-
-    runner = jax.jit(batch_lib.make_lanes_fleet_runner(params, dtype,
-                                                       use_pallas=True))
+    eb = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=dtype), B,
+        jax.random.PRNGKey(1), dtype=dtype)
 
     def sync(val):
         # block_until_ready returns before execution completes on the axon
         # tunnel backend; a device->host scalar copy is the reliable fence.
         return float(jnp.sum(val[-1]))
 
-    t0 = time.time()
-    x, v = runner(data_b, vo)
-    sync(x)
-    compile_wall = time.time() - t0
-    print(f"compile+first run: {compile_wall:.1f}s", file=sys.stderr)
-
-    walls = []
-    for rep in range(3):
-        db = data_b._replace(accel_b=data_b.accel_b + (rep + 1) * 1e-7)
+    def timed(fn, *args, reps=3, jitter=None):
+        """(compile_s, best_wall_s, last_output). jitter(args, rep) perturbs
+        inputs so reps are not no-op cache hits."""
         t0 = time.time()
-        x, v = runner(db, vo)
-        sync(x)
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    solves = B * (T - 1)  # tick 0 is initialization, not a windowed solve
-    rate = solves / wall
-    print(f"B={B} T={T} wall={wall:.3f}s walls={['%.3f' % w for w in walls]}",
+        out = fn(*args)
+        sync(out[0])
+        compile_s = time.time() - t0
+        walls = []
+        for rep in range(reps):
+            a = jitter(args, rep) if jitter is not None else args
+            t0 = time.time()
+            out = fn(*a)
+            sync(out[0])
+            walls.append(time.time() - t0)
+        return compile_s, min(walls), out
+
+    def jit_data(args, rep):
+        d, *rest = args
+        return (d._replace(accel_b=d.accel_b + (rep + 1) * 1e-7), *rest)
+
+    # ---- headline: full EKF+MHE pipeline fleet --------------------------
+    pipe = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        params, ekf_params, dtype, use_pallas=on_tpu))
+    c_pipe, w_pipe, (x_p, v_p, _q) = timed(pipe, data_b, eb, vo,
+                                           jitter=jit_data)
+    ticks = B * (T - 1)
+    rate_pipe = ticks / w_pipe
+    extras["compile_s_pipeline"] = round(c_pipe, 1)
+    print(f"pipeline (EKF+MHE) B={B}: compile+first {c_pipe:.1f}s, "
+          f"best wall {w_pipe:.3f}s -> {rate_pipe:,.0f} ticks/s",
           file=sys.stderr)
 
-    # supplementary: per-cycle latency of a real-time-sized fleet (one full
-    # EKF+MHE tick, amortized over an on-device scan)
-    cyc = wall / (T - 1)
+    # accuracy: fleet estimates vs ground truth
+    v_est = np.asarray(x_p[..., 3:6]).astype(np.float64)
+    assert np.isfinite(v_est).all(), "non-finite estimates"
+    rmse = float(np.sqrt(((v_est[SKIP:] - log.gt_v_s[SKIP:, None]) ** 2).mean()))
+    extras["fleet_rmse_vs_gt"] = round(rmse, 5)
+    print(f"pipeline fleet velocity RMSE vs GT: {rmse:.4f} m/s", file=sys.stderr)
+    assert rmse < 0.1, f"accuracy regression: RMSE {rmse}"
+
+    # ---- MHE-only A/B: scanned lanes vs mega-kernel ---------------------
+    scan = jax.jit(batch_lib.make_lanes_fleet_runner(params, dtype,
+                                                     use_pallas=on_tpu))
+    c_scan, w_scan, _ = timed(scan, data_b, vo, jitter=jit_data)
+    rate_scan = ticks / w_scan
+    extras["compile_s_mhe_scan"] = round(c_scan, 1)
+    extras["mhe_only_scan_solves_per_s"] = round(rate_scan, 0)
+    print(f"MHE-only scanned lanes: compile {c_scan:.1f}s, "
+          f"{rate_scan:,.0f} solves/s", file=sys.stderr)
+
+    mega = jax.jit(batch_lib.make_lanes_fleet_runner(
+        params, dtype, use_megakernel=True,
+        megakernel_chunk=int(os.environ.get("BENCH_MK_CHUNK", "64"))))
+    try:
+        if not on_tpu:
+            raise RuntimeError("mega-kernel requires the TPU backend")
+        c_mk, w_mk, _ = timed(mega, data_b, vo, jitter=jit_data)
+        rate_mk = ticks / w_mk
+        extras["compile_s_megakernel"] = round(c_mk, 1)
+        extras["mhe_only_megakernel_solves_per_s"] = round(rate_mk, 0)
+        print(f"MHE-only mega-kernel:   compile {c_mk:.1f}s, "
+              f"{rate_mk:,.0f} solves/s "
+              f"({rate_mk / rate_scan:.2f}x scanned)", file=sys.stderr)
+    except Exception as e:  # keep the bench alive if Mosaic rejects a shape
+        print(f"mega-kernel path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        extras["mhe_only_megakernel_solves_per_s"] = None
+
+    # ---- constrained MHE (velocity box, OSQP-semantics ADMM) ------------
+    s_dim = params.dim_state
+    x_lb = np.full(s_dim, -np.inf); x_lb[3:6] = -1.0
+    x_ub = np.full(s_dim, np.inf); x_ub[3:6] = 1.0
+    params.osqp.abs_tol = 1e-6
+    params.osqp.relative_tol = 1e-6
+    c_con = mhe.make_consts(params, dtype, x_lb=x_lb, x_ub=x_ub,
+                            admm_iters=50)
+    Bc = min(B, 256)
+    data_c = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, Bc, key, dtype=dtype))
+
+    con = jax.jit(lambda d, v: estimator.run_mhe(params, d, vo=v, dtype=dtype,
+                                                 consts=c_con))
+    c_adm, w_adm, (x_c, _) = timed(con, data_c, vo, jitter=jit_data)
+    rate_con = Bc * (T - 1) / w_adm
+    extras["compile_s_constrained"] = round(c_adm, 1)
+    extras["constrained_admm_solves_per_s"] = round(rate_con, 0)
+    vmax = float(np.abs(np.asarray(x_c[..., 3:6])).max())
+    print(f"constrained MHE (ADMM, box |v|<=1): compile {c_adm:.1f}s, "
+          f"B={Bc}: {rate_con:,.0f} solves/s, max|v|={vmax:.3f}",
+          file=sys.stderr)
+    assert vmax <= 1.0 + 1e-3, "box constraint violated"
+
+    # ---- f32 accuracy gate vs the CPU float64 oracle --------------------
+    with tempfile.TemporaryDirectory() as td:
+        x64, gt_v = _f64_oracle(td)
+    eb1 = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=dtype), 8,
+        jax.random.PRNGKey(2), noise_scale=0.0, dtype=dtype)
+    data1 = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, 8, key, noise_scale=0.0,
+                                    dtype=dtype))
+    pipe1 = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        params, ekf_params, dtype, use_pallas=on_tpu))
+    x1, _, _ = pipe1(data1, eb1, vo)
+    sync(x1)
+    x32 = np.asarray(x1[:, 0]).astype(np.float64)
+
+    def vrmse(x):
+        return float(np.sqrt(((x[SKIP:, 3:6] - gt_v[SKIP:]) ** 2).mean()))
+
+    r32, r64 = vrmse(x32), vrmse(x64)
+    delta = abs(r32 - r64)
+    dev_max = float(np.abs(x32 - x64).max())
+    extras["rmse_f32_tpu"] = round(r32, 6)
+    extras["rmse_f64_oracle"] = round(r64, 6)
+    extras["rmse_delta_f32_vs_f64"] = round(delta, 6)
+    extras["max_state_dev_f32_vs_f64"] = round(dev_max, 5)
+    print(f"f32 gate: RMSE f32 {r32:.5f} vs f64 oracle {r64:.5f} "
+          f"(delta {delta:.2e} < 1e-3 gate), max state dev {dev_max:.4f}",
+          file=sys.stderr)
+    assert delta < 1e-3, f"f32 accuracy gate failed: delta {delta}"
+
+    # ---- honest latency: B=1 on-device per-tick + per-dispatch p50/p99 --
+    dataL = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, 1, key, dtype=dtype))
+    ebL = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=dtype), 1,
+        jax.random.PRNGKey(3), dtype=dtype)
+    pipeL = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        params, ekf_params, dtype, use_pallas=False))
+    _, wL, _ = timed(pipeL, dataL, ebL, vo, jitter=jit_data)
+    tick_ms_b1 = wL / (T - 1) * 1e3
+    extras["b1_on_device_tick_ms"] = round(tick_ms_b1, 4)
+    print(f"B=1 on-device pipeline tick: {tick_ms_b1:.3f} ms "
+          f"(5 ms reference budget)", file=sys.stderr)
+
+    # facade-style per-tick dispatch: one jitted MHE tick per host call —
+    # the HIL analog. Over the axon tunnel this is RTT-dominated; reported
+    # honestly as the dispatch ceiling of tick-at-a-time use on this setup.
+    c1 = mhe.make_consts(params, dtype)
+    d0 = __import__("jax").tree.map(lambda a: a[0], data)
+    st = mhe.init(c1, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot, d0.J_foot,
+                  d0.dq, d0.contact, dtype=dtype)
+    step1 = jax.jit(lambda st_, d: mhe.step(
+        c1, st_, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
+        d.contact, False, jnp.zeros(3, dtype), 0, 0, d.R_sb))
+    dticks = [__import__("jax").tree.map(lambda a: a[k], data)
+              for k in range(1, min(41, T))]
+    st, _ = step1(st, dticks[0])
+    jax.block_until_ready(st)
+    lats = []
+    for k in range(1, len(dticks)):
+        t0 = time.time()
+        st, (xT, _) = step1(st, dticks[k])
+        float(jnp.sum(xT))
+        lats.append(time.time() - t0)
+    lats_ms = np.asarray(lats) * 1e3
+    extras["dispatch_p50_ms"] = round(float(np.percentile(lats_ms, 50)), 2)
+    extras["dispatch_p99_ms"] = round(float(np.percentile(lats_ms, 99)), 2)
+    print(f"per-dispatch tick latency over tunnel: p50 "
+          f"{extras['dispatch_p50_ms']} ms, p99 {extras['dispatch_p99_ms']} ms "
+          f"(n={len(lats)}; tunnel RTT floor — amortized on-device time above "
+          f"is the realtime-relevant number)", file=sys.stderr)
+
+    cyc = w_pipe / (T - 1)
     print(f"fleet cycle time: {cyc*1e3:.3f} ms for {B} instances "
           f"({cyc*1e3/B:.4f} ms/instance; reference budget 5 ms/instance)",
           file=sys.stderr)
 
-    # sanity: estimates finite and accurate vs ground truth (x is (T, B, s))
-    v_est = np.asarray(x[..., 3:6]).astype(np.float64)
-    assert np.isfinite(v_est).all(), "non-finite estimates"
-    rmse = float(np.sqrt(((v_est[100:] - log.gt_v_s[100:, None]) ** 2).mean()))
-    print(f"fleet velocity RMSE vs GT: {rmse:.4f} m/s", file=sys.stderr)
-    assert rmse < 0.1, f"accuracy regression: RMSE {rmse}"
-
     print(json.dumps({
         "metric": "mhe_solves_per_s_per_chip",
-        "value": round(rate, 1),
-        "unit": "solves/s (N=20 window, Go1 config, incl. VO+marginalization; lanes-layout Pallas window solve)",
-        "vs_baseline": round(rate / 50_000.0, 3),
+        "value": round(rate_pipe, 1),
+        "unit": ("pipeline ticks/s (full EKF 500Hz substeps + MHE N=20 solve "
+                 "per tick, Go1 config, incl. VO+marginalization; lanes "
+                 "layout, Pallas window solve)"),
+        "vs_baseline": round(rate_pipe / 50_000.0, 3),
+        **extras,
     }))
 
 

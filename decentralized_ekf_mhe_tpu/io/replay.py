@@ -55,6 +55,9 @@ class RawLog:
     vo_t_now: np.ndarray = field(default_factory=lambda: np.zeros(0))
     vo_dp_body: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     vo_q_wb: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))
+    # optional RECEIVE times of the VO messages (transport latency); when
+    # empty, arrival is approximated as "right after the image stamp"
+    vo_t_recv: np.ndarray = field(default_factory=lambda: np.zeros(0))
 
     mocap_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
     mocap_p: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
@@ -200,9 +203,14 @@ def align(
     ekf_vo_q = np.zeros((T_ekf, 4))
     ekf_vo_sb = np.zeros(T_ekf, np.int64)
     n_discard = 0
+    has_recv = len(raw.vo_t_recv) == len(raw.vo_t_now) and len(raw.vo_t_now)
     for k in range(len(raw.vo_t_now)):
         tp, tn = raw.vo_t_pre[k], raw.vo_t_now[k]
-        arrive = int(np.searchsorted(tick_t, tn, side="right"))
+        # arrival = first estimator tick after the message is RECEIVED (the
+        # callback → next timerCallback boundary); without receive stamps,
+        # right after the image stamp (zero transport latency)
+        t_arr = raw.vo_t_recv[k] if has_recv else tn
+        arrive = int(np.searchsorted(tick_t, t_arr, side="right"))
         if arrive >= T:
             continue
         sync_pre = upper_bound_sync(tick_t, tp)
@@ -215,8 +223,11 @@ def align(
         vo_pre[arrive] = sync_pre
         vo_now[arrive] = sync_now
         if len(raw.vo_q_wb):
-            e_arrive = upper_bound_sync(ekf_t, tn) + 1
-            e_sync = upper_bound_sync(ekf_t, tp)
+            # the orb/pos pose is stamped with the CURRENT image time
+            # (stereo-pub-node.cpp:169); the EKF rewinds to it
+            # (orien_ekf.cpp:175-186) at its first tick after arrival
+            e_arrive = int(np.searchsorted(ekf_t, t_arr, side="right"))
+            e_sync = upper_bound_sync(ekf_t, tn)
             if 0 <= e_sync and e_arrive < T_ekf:
                 ekf_vo_active[e_arrive] = True
                 ekf_vo_q[e_arrive] = raw.vo_q_wb[k]
@@ -238,3 +249,26 @@ def align(
         ekf_vo_active=ekf_vo_active, ekf_vo_q=ekf_vo_q,
         ekf_vo_steps_back=ekf_vo_sb,
     )
+
+
+# --------------------------------------------------------------- npz format
+# The documented RawLog interchange schema (examples/run_go1.py --raw):
+# an .npz whose keys are exactly the RawLog field names.
+
+
+def save_rawlog(path: str, raw: RawLog) -> None:
+    """Write a RawLog as .npz (keys = field names)."""
+    np.savez_compressed(
+        path, **{k: np.asarray(getattr(raw, k)) for k in RawLog.__dataclass_fields__}
+    )
+
+
+def load_rawlog(path: str) -> RawLog:
+    """Read a RawLog .npz written by save_rawlog (missing optional keys
+    default to empty)."""
+    with np.load(path) as d:
+        kw = {}
+        for k, f in RawLog.__dataclass_fields__.items():
+            if k in d.files:
+                kw[k] = d[k]
+        return RawLog(**kw)

@@ -50,3 +50,25 @@ class RobotModel:
     def contact_from_force(self, force: jnp.ndarray) -> jnp.ndarray:
         """Threshold contact detection (go1Sub.cpp:74): force >= thr -> 1.0."""
         return (force >= self.contact_threshold).astype(force.dtype)
+
+
+class CartesianFeetModel(RobotModel):
+    """Adapter for logs whose "joint state" already carries body-frame foot
+    positions/velocities (fk = identity, J = I₃) — the J·dq ≡ ṗ_body
+    reparameterization the estimator consumes (DecentralEst.cpp:515-516).
+    Used by the synthetic-log RawLog path and by deployments that do their
+    own kinematics upstream."""
+
+    name = "cartesian-feet"
+
+    def __init__(self, num_legs: int = 4, p_ib=(0.0, 0.0, 0.0),
+                 contact_threshold: float = 150.0):
+        super().__init__(p_ib=p_ib, contact_threshold=contact_threshold)
+        self.num_legs = num_legs
+
+    def fk(self, joints: jnp.ndarray) -> jnp.ndarray:
+        return joints
+
+    def jacobian(self, joints: jnp.ndarray) -> jnp.ndarray:
+        eye = jnp.eye(3, dtype=joints.dtype)
+        return jnp.broadcast_to(eye, joints.shape + (3,))

@@ -708,6 +708,16 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
     N, s = kc.N, kc.s
     T_total = data_l.accel_b.shape[0]
     B = data_l.accel_b.shape[-1]
+    pad = (-B) % LANE_TILE
+    if pad:
+        # pad the fleet to a whole lane tile by repeating the last instance
+        # (keeps every padded matrix well-conditioned), then slice back
+        data_p = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[..., -1:], pad, axis=-1)], axis=-1),
+            data_l)
+        return replay(c, data_p, vo, dtype=dtype, chunk=chunk,
+                      interpret=interpret)[..., :B]
 
     d0 = jax.tree.map(lambda a: a[0], data_l)
     st0 = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,

@@ -267,6 +267,57 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
     return jax.jit(fn)
 
 
+def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
+                            dtype=jnp.float32, use_pallas=True,
+                            ekf_ring_len: int = 16):
+    """shard_map the full EKF+MHE pipeline fleet over the mesh — the
+    production multi-chip path (config 5): instances sharded over all mesh
+    axes, per-shard lanes-layout pipeline scan, fleet statistics psum-reduced
+    over ICI.
+
+    Returns f(data_tb (T,B,...) B-sharded, eb EKFBlocks lanes (gyro/accel
+    (T,S,3,B) B-sharded, metadata replicated), vo replicated, gt_v (T,3)
+    replicated) -> (x (T,B,s) sharded, rmse (B,) sharded, fleet_mean,
+    fleet_max replicated).
+    """
+    shard_map = jax.shard_map
+
+    from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
+
+    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    axes = tuple(mesh.axis_names)
+    data_spec = P(None, axes)          # (T, B, ...) with B sharded
+    lanes_spec = P(None, None, None, axes)  # (T, S, 3, B) with B sharded
+    repl = P()
+
+    def body(data_tb, eb, vo, gt_v):
+        data_l = tickdata_to_lanes(data_tb)
+        x, v_b, _q = estimator.run_pipeline_lanes(
+            params, ekf_params, data_l, eb, vo=vo, dtype=dtype, consts=c,
+            ekf_ring_len=ekf_ring_len)
+        err = x[..., 3:6] - gt_v[:, None, :]
+        skip = min(50, err.shape[0] // 2)
+        local_sq = jnp.sum(err[skip:] ** 2, axis=(0, 2))
+        rmse = jnp.sqrt(local_sq / (err.shape[0] - skip) / 3.0)
+        n_total = jax.lax.psum(jnp.asarray(rmse.shape[0], dtype), axes)
+        fleet_mean = jax.lax.psum(jnp.sum(rmse), axes) / n_total
+        fleet_max = jax.lax.pmax(jnp.max(rmse), axes)
+        return x, rmse, fleet_mean, fleet_max
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            estimator.TickData(*([data_spec] * 7)),
+            estimator.EKFBlocks(lanes_spec, lanes_spec, repl, repl, repl, repl),
+            estimator.VOData(*([repl] * 4)),
+            repl,
+        ),
+        out_specs=(data_spec, P(axes), repl, repl),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def measure_scaling(params, data_tb, vo, gt_v, device_counts, dtype=jnp.float32,
                     use_pallas=False, reps=2):
     """Weak-scaling efficiency harness: fixed per-device fleet, growing mesh.

@@ -10,6 +10,13 @@ p_vo_accmulate_, filter_euler_, gt_euler_).
 Usage:
     python examples/run_go1.py [--yaml PATH] [--ticks N] [--est-type {0,1}]
                                [--gt-orientation] [--log-dir DIR] [--cpu]
+                               [--raw PATH] [--raw-model {go1,cartesian}]
+
+``--raw`` replays a recorded log instead of the synthetic generator: either a
+RawLog .npz (io.replay.save_rawlog schema) or a rosbag2 directory/.db3 of the
+reference's topics (io.rosbag.rawlog_from_rosbag); the alignment pass
+(io.replay.align) reproduces the reference's latest-value sampling, VO
+timestamp sync and discard rules.
 """
 
 import argparse
@@ -31,6 +38,14 @@ def main(argv=None):
     ap.add_argument("--log-dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--raw", default=None, metavar="PATH",
+                    help="replay a RawLog .npz or rosbag2 dir/.db3 instead "
+                         "of the synthetic log")
+    ap.add_argument("--raw-model", default="go1",
+                    choices=["go1", "cartesian"],
+                    help="kinematics used by the alignment pass: 'go1' "
+                         "(FROST-parity FK on joint angles) or 'cartesian' "
+                         "(joint channels already carry foot positions)")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,8 +68,49 @@ def main(argv=None):
     print(f"config: rate={est_params.rate} N={est_params.N} "
           f"est_type={est_params.est_type} legs={est_params.num_legs}")
 
-    cfg = synth.SynthConfig(T=args.ticks, rate=est_params.rate, seed=args.seed)
-    log = synth.generate(cfg)
+    if args.raw:
+        from decentralized_ekf_mhe_tpu.io import replay as replay_io
+        from decentralized_ekf_mhe_tpu.models import go1 as go1_model
+        from decentralized_ekf_mhe_tpu.models.base import CartesianFeetModel
+
+        if args.raw.endswith(".npz"):
+            raw = replay_io.load_rawlog(args.raw)
+        else:
+            from decentralized_ekf_mhe_tpu.io import rosbag as rosbag_io
+
+            raw = rosbag_io.rawlog_from_rosbag(args.raw,
+                                               num_legs=est_params.num_legs)
+        if args.raw_model == "go1":
+            model = go1_model.Go1Model(
+                p_ib=est_params.p_ib,
+                contact_threshold=est_params.contact_effort_threshold)
+        else:
+            model = CartesianFeetModel(
+                num_legs=est_params.num_legs, p_ib=est_params.p_ib,
+                contact_threshold=est_params.contact_effort_threshold)
+        log = replay_io.align(raw, model, est_rate=est_params.rate,
+                              ekf_rate=ekf_params.rate)
+        T_avail = log.accel_b.shape[0]
+        if args.ticks < T_avail:
+            import numpy as _np
+
+            T_ekf_avail = log.ekf_gyro.shape[0]
+            Te = int(_np.sum(log.ekf_substeps[: args.ticks]))
+
+            def _trim(a):
+                if a.shape[:1] == (T_avail,):
+                    return a[: args.ticks]
+                if a.shape[:1] == (T_ekf_avail,):
+                    return a[:Te]
+                return a
+
+            for f in list(vars(log)):
+                setattr(log, f, _trim(getattr(log, f)))
+        print(f"replaying raw log {args.raw}: {log.accel_b.shape[0]} ticks")
+    else:
+        cfg = synth.SynthConfig(T=args.ticks, rate=est_params.rate,
+                                seed=args.seed)
+        log = synth.generate(cfg)
     dtype = jnp.float32
 
     timings = {}
@@ -80,7 +136,8 @@ def main(argv=None):
         v_seq = np.asarray(v_seq)
 
     T = x_seq.shape[0]
-    rmse = float(np.sqrt(((x_seq[100:, 3:6] - log.gt_v_s[100:T]) ** 2).mean()))
+    skip = min(100, T // 2)
+    rmse = float(np.sqrt(((x_seq[skip:, 3:6] - log.gt_v_s[skip:T]) ** 2).mean()))
     cycle_us = timings["estimator replay"] / T * 1e6
     print(f"velocity RMSE vs GT: {rmse:.4f} m/s over {T} ticks")
     print(f"replay wall: {timings['estimator replay']:.2f}s "
