@@ -194,7 +194,13 @@ def run_mhe_lanes(
 
     ``data`` fields are lanes-layout time-leading: accel_b (T,3,B), R_sb
     (T,3,3,B), p_foot (T,L,3,B), ... (parallel.batch.tickdata_to_lanes
-    converts from (T,B,...)); ``vo`` is the shared fleet VO schedule.
+    converts from (T,B,...)).
+
+    ``vo`` is either the shared fleet VO schedule (active (T,), dp_body
+    (T,3), ticks (T,)) or a PER-INSTANCE schedule in lanes layout (active
+    (T,B), dp_body (T,3,B), ticks (T,B)) — detected by active's rank; the
+    per-instance path runs the fully masked mhe_lanes.step_per_instance_vo
+    so Monte-Carlo fleets can perturb VO timing and content per lane.
     Returns (x_seq (T,B,s), v_b_seq (T,B,3)) in standard layout.
     """
     from decentralized_ekf_mhe_tpu.ops import lanes, mhe, mhe_lanes
@@ -209,7 +215,13 @@ def run_mhe_lanes(
             tick_pre=jnp.zeros(T_total, jnp.int32),
             tick_now=jnp.zeros(T_total, jnp.int32),
         )
-    R_pre_seq = data.R_sb[vo.tick_pre]  # (T,3,3,B) pre-frame orientations
+    per_instance_vo = vo.active.ndim == 2
+    if per_instance_vo:
+        # R_sb[tick_pre[t,b], :, :, b] — per-lane time gather
+        R_pre_seq = jnp.take_along_axis(
+            data.R_sb, vo.tick_pre[:, None, None, :], axis=0)
+    else:
+        R_pre_seq = data.R_sb[vo.tick_pre]  # (T,3,3,B) pre-frame orientations
     B = data.accel_b.shape[-1]
     lever_l = jnp.broadcast_to(lever[:, None], (3, B))
 
@@ -218,13 +230,17 @@ def run_mhe_lanes(
 
     d0 = jax.tree.map(lambda a: a[0], data)
     st = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
-                        d0.J_foot, d0.dq, d0.contact, dtype=dtype)
+                        d0.J_foot, d0.dq, d0.contact, dtype=dtype,
+                        per_instance_vo=per_instance_vo)
     x0 = mhe_lanes.solve_window(c, st)[c.N - 1]
     v0 = body_vel(x0, d0.R_sb, d0.omega_b)
 
+    step_fn = (mhe_lanes.step_per_instance_vo if per_instance_vo
+               else mhe_lanes.step)
+
     def scan_step(st, inp):
         d, v, R_pre = inp
-        st, (x_T, _) = mhe_lanes.step(
+        st, (x_T, _) = step_fn(
             c, st, d.R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
             d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, R_pre,
         )

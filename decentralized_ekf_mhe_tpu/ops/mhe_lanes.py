@@ -68,8 +68,11 @@ def init(
     c: MHEConsts,
     R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact,
     dtype=jnp.float32,
+    per_instance_vo: bool = False,
 ) -> MHEStateL:
-    """Tick-0 initialization (InitializeMHE, DecentralEst.cpp:200-351)."""
+    """Tick-0 initialization (InitializeMHE, DecentralEst.cpp:200-351).
+    ``per_instance_vo`` allocates a per-lane Bezier schedule (times/count
+    batched) for fleets whose VO events differ per instance."""
     N, s, m = c.N, c.dim_state, c.dim_meas
     p = _params_view(c)
     y0, Q0 = assembly_lanes.build_measurement(
@@ -93,7 +96,8 @@ def init(
         M_p=Q_prior,
         n_p=-lanes.mv(Q_prior, x_prior),
         T=jnp.asarray(0, jnp.int32),
-        bez=bezier.init(dtype, batch=(B,)),
+        bez=bezier.init(dtype, batch=(B,),
+                        per_instance_schedule=per_instance_vo),
         prev_R=R_sb,
         prev_accel_s=assembly_lanes.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
@@ -163,6 +167,71 @@ def _apply_vo(c: MHEConsts, st: MHEStateL, vo_R_pre, vo_dp, vo_tick_pre, vo_tick
     tgt = jnp.where(mask, slot, N + 8)
     b_cam = st.b_cam.at[tgt].set(-diffs_l[1:], mode="drop")
     cam_active = st.cam_active.at[tgt].set(True, mode="drop")
+    return st._replace(b_cam=b_cam, cam_active=cam_active, bez=bez_c)
+
+
+def _tree_select(mask, a, b):
+    """Per-instance select over batch-leading pytrees (mask (B,))."""
+    m = jnp.asarray(mask, bool)
+
+    def pick(x, y):
+        mm = m.reshape(m.shape + (1,) * (x.ndim - m.ndim))
+        return jnp.where(mm, x, y)
+
+    return jax.tree.map(pick, a, b)
+
+
+def _apply_vo_per_instance(c: MHEConsts, st: MHEStateL, vo_R_pre, vo_dp,
+                           vo_tick_pre, vo_tick_now, vo_active):
+    """Per-instance VO ingestion — the fully masked twin of _apply_vo for
+    Monte-Carlo fleets whose VO schedules differ per lane (timing AND
+    content). All VO operands are batched: vo_R_pre (3,3,B), vo_dp (3,B),
+    vo_tick_pre/now/active (B,). Requires a per-instance Bezier schedule
+    (mhe_lanes.init(..., per_instance_vo=True)); the branch never uses
+    lax.cond — inactive lanes are masked out, matching the semantics of the
+    scalar path lane-by-lane (equivalence: tests/test_per_instance_vo.py).
+    """
+    N = c.N
+    dt = jnp.asarray(c.dt, st.prev_accel_s.dtype)
+    T = st.T + 1
+    B = st.prev_accel_s.shape[-1]
+    act = jnp.asarray(vo_active, bool)
+
+    inc = lanes.mv(vo_R_pre, vo_dp) * act.astype(vo_dp.dtype)[None, :]
+    p_accum = st.bez.p_accum + inc.T                  # carry is (B,3)
+    bez_c = st.bez._replace(p_accum=p_accum)
+    bez_c = bezier.add_way_point(
+        bez_c, p_accum, vo_tick_now.astype(dt.dtype) * dt, mask=act)
+
+    window_start = T - jnp.minimum(N, T)
+    start = jnp.maximum(window_start, vo_tick_pre)    # (B,)
+    num = vo_tick_now - start + 1                     # (B,)
+    do_interp = act & (vo_tick_now > window_start) & (bez_c.count >= 4)
+
+    # node index i of window slot j: slot = start + i - T + N  ⇒
+    # i = j - start + T - N  (per instance)
+    j = jnp.arange(N)
+    i_b = j[:, None] - start[None, :] + T - N         # (N,B)
+    ok = (
+        do_interp[None, :]
+        & (i_b >= 0)
+        & (i_b <= num[None, :] - 2)
+        & (j[:, None] <= N - 2)
+    )
+
+    t_int = bez_c.times[:, 3] - bez_c.times[:, 0]     # (B,)
+    t_int = jnp.where(t_int == 0, jnp.ones_like(t_int), t_int)
+    u0 = (start.astype(dt.dtype) * dt - bez_c.times[:, 0]) / t_int
+    du = dt / t_int
+    uf = i_b.astype(dt.dtype)
+    # diff over [i, i+1] evaluated directly per (slot, instance); pts are
+    # (B,4,3) so eval_at yields (B,N,3) → lanes (N,3,B)
+    lo = bezier.eval_at(bez_c, u0[:, None] + uf.T * du[:, None])
+    hi = bezier.eval_at(bez_c, u0[:, None] + (uf.T + 1) * du[:, None])
+    diff = jnp.moveaxis(hi - lo, 0, -1)               # (N,3,B)
+
+    b_cam = jnp.where(ok[:, None, :], -diff, st.b_cam)
+    cam_active = st.cam_active | ok
     return st._replace(b_cam=b_cam, cam_active=cam_active, bez=bez_c)
 
 
@@ -261,7 +330,39 @@ def step(
         lambda s_: s_,
         st,
     )
+    return _tick_tail(c, st, R_sb, accel_b, omega_b, p_foot, J_foot, dq,
+                      contact)
 
+
+@full_precision
+def step_per_instance_vo(
+    c: MHEConsts,
+    st: MHEStateL,
+    R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact,
+    vo_active, vo_dp, vo_tick_pre, vo_tick_now,
+    vo_R_pre,
+):
+    """One estimator tick with PER-INSTANCE VO: vo_active (B,), vo_dp (3,B),
+    vo_tick_pre/now (B,), vo_R_pre (3,3,B). Requires a state built with
+    init(..., per_instance_vo=True). Inactive lanes are masked, not
+    branched; otherwise identical to step."""
+    st = _apply_vo_per_instance(
+        c, st, vo_R_pre,
+        jnp.asarray(vo_dp, st.prev_accel_s.dtype),
+        jnp.asarray(vo_tick_pre, jnp.int32),
+        jnp.asarray(vo_tick_now, jnp.int32),
+        vo_active,
+    )
+    return _tick_tail(c, st, R_sb, accel_b, omega_b, p_foot, J_foot, dq,
+                      contact)
+
+
+def _tick_tail(c: MHEConsts, st: MHEStateL, R_sb, accel_b, omega_b, p_foot,
+               J_foot, dq, contact):
+    """Marginalize-if-full → shift/append → solve (the VO-independent tail
+    of the tick; see step's docstring for the reference anchors)."""
+    N = c.N
+    p = _params_view(c)
     T = st.T + 1
     M_new, n_new = jax.lax.cond(
         T >= N,

@@ -677,6 +677,10 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases=aliases,
+        # the fully unrolled tick body keeps ~29 MB of live temporaries per
+        # lane tile; raise Mosaic's scoped-vmem ceiling (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray([t0], jnp.int32),
