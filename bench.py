@@ -190,6 +190,33 @@ def main():
               file=sys.stderr)
         extras["mhe_only_megakernel_solves_per_s"] = None
 
+    # ---- staged pipeline: EKF scan -> Pallas mega-kernel MHE ------------
+    rate_pipe_mk = 0.0
+    pipe_mk = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        params, ekf_params, dtype, use_megakernel=True,
+        megakernel_chunk=int(os.environ.get("BENCH_MK_CHUNK", "64"))))
+    try:
+        if not on_tpu:
+            raise RuntimeError("mega-kernel requires the TPU backend")
+        c_pmk, w_pmk, (x_pmk, _, _) = timed(pipe_mk, data_b, eb, vo,
+                                            jitter=jit_data)
+        rate_pipe_mk = ticks / w_pmk
+        extras["compile_s_pipeline_megakernel"] = round(c_pmk, 1)
+        extras["pipeline_megakernel_ticks_per_s"] = round(rate_pipe_mk, 0)
+        v_mk = np.asarray(x_pmk[..., 3:6]).astype(np.float64)
+        rmse_mk = float(np.sqrt(
+            ((v_mk[SKIP:] - log.gt_v_s[SKIP:, None]) ** 2).mean()))
+        extras["pipeline_megakernel_rmse"] = round(rmse_mk, 5)
+        print(f"pipeline (EKF+MHE, staged mega-kernel): compile {c_pmk:.1f}s, "
+              f"{rate_pipe_mk:,.0f} ticks/s "
+              f"({rate_pipe_mk / rate_pipe:.2f}x interleaved), "
+              f"RMSE {rmse_mk:.4f}", file=sys.stderr)
+        assert rmse_mk < 0.1
+    except Exception as e:
+        print(f"staged mega-kernel pipeline failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        extras["pipeline_megakernel_ticks_per_s"] = None
+
     # ---- constrained MHE (velocity box, OSQP-semantics ADMM) ------------
     s_dim = params.dim_state
     x_lb = np.full(s_dim, -np.inf); x_lb[3:6] = -1.0
@@ -291,13 +318,17 @@ def main():
           f"({cyc*1e3/B:.4f} ms/instance; reference budget 5 ms/instance)",
           file=sys.stderr)
 
+    best = max(rate_pipe, rate_pipe_mk)
+    impl = ("staged: EKF lanes scan + whole-tick Pallas mega-kernel MHE"
+            if rate_pipe_mk > rate_pipe
+            else "interleaved lanes scan, Pallas window solve")
     print(json.dumps({
         "metric": "mhe_solves_per_s_per_chip",
-        "value": round(rate_pipe, 1),
+        "value": round(best, 1),
         "unit": ("pipeline ticks/s (full EKF 500Hz substeps + MHE N=20 solve "
-                 "per tick, Go1 config, incl. VO+marginalization; lanes "
-                 "layout, Pallas window solve)"),
-        "vs_baseline": round(rate_pipe / 50_000.0, 3),
+                 "per tick, Go1 config, incl. VO+marginalization; " + impl
+                 + ")"),
+        "vs_baseline": round(best / 50_000.0, 3),
         **extras,
     }))
 

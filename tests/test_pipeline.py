@@ -126,3 +126,50 @@ def test_pipeline_fleet_runner_f32_sane():
     err = np.asarray(x)[T // 2:, :, 3:6] - log.gt_v_s[T // 2:, None]
     rmse = float(np.sqrt((err ** 2).mean()))
     assert rmse < 0.15, rmse
+
+
+def test_staged_megakernel_pipeline_matches_interleaved():
+    """make_pipeline_fleet_runner(use_megakernel=True): the staged
+    EKF-scan → Pallas mega-kernel pipeline equals the interleaved scan at
+    float64 (the EKF stage is data-independent of the MHE, so staging is an
+    exact reordering)."""
+    T = 24
+    B = 128  # one lane tile
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=6)
+    pe = EKFParams()
+    log = synth.generate(synth.SynthConfig(T=T, seed=13))
+    data = estimator.tickdata_from_log(log, dtype=DT)
+    vo = estimator.vodata_from_log(log, dtype=DT)
+    key = jax.random.PRNGKey(0)
+    data_b = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, key, dtype=DT))
+    eb = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=DT), B,
+        jax.random.PRNGKey(1), dtype=DT)
+
+    interleaved = batch_lib.make_pipeline_fleet_runner(
+        p, pe, DT, use_pallas=False, ekf_ring_len=16)
+    x_i, v_i, q_i = interleaved(data_b, eb, vo)
+
+    staged = batch_lib.make_pipeline_fleet_runner(
+        p, pe, DT, use_pallas=False, ekf_ring_len=16,
+        use_megakernel=True, megakernel_chunk=7, megakernel_interpret=True)
+    x_s, v_s, q_s = staged(data_b, eb, vo)
+
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_i),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_i),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_i),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_example_run_fleet():
+    import sys
+    sys.path.insert(0, "examples")
+    import run_fleet
+
+    assert run_fleet.main(["--cpu", "--instances", "4", "--ticks", "60",
+                           "--sweep"]) == 0
+    assert run_fleet.main(["--cpu", "--instances", "8", "--ticks", "40",
+                           "--mesh"]) == 0
