@@ -211,6 +211,27 @@ def _ros_params(doc: dict, node: str) -> dict:
     return sec.get("ros__parameters", sec) if isinstance(sec, dict) else {}
 
 
+def _coerce(obj: Any, attr: str, value: Any) -> Any:
+    """Coerce a YAML value to the declared field type.
+
+    PyYAML implements YAML 1.1, where ``1e-6`` (no dot, unsigned exponent) is a
+    *string*; rclcpp's YAML front-end parses it as a double. Coerce by the
+    dataclass default's type so reference YAMLs load with reference semantics.
+    """
+    cur = getattr(obj, attr)
+    if isinstance(cur, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("true", "1", "yes", "on")
+        return bool(value)
+    if isinstance(cur, int) and not isinstance(value, (list, dict)):
+        return int(float(value))
+    if isinstance(cur, float) and not isinstance(value, (list, dict)):
+        return float(value)
+    if isinstance(cur, list) and isinstance(value, (list, tuple)):
+        return [float(v) if isinstance(v, str) else v for v in value]
+    return value
+
+
 def load_yaml_params(path: str) -> tuple[EstimatorParams, EKFParams]:
     """Load (EstimatorParams, EKFParams) from a reference-layout YAML file."""
     import yaml
@@ -224,17 +245,17 @@ def load_yaml_params(path: str) -> tuple[EstimatorParams, EKFParams]:
         est.log_name = est_doc["log_name"]
     for (group, key), attr in _EST_KEYMAP.items():
         if group in est_doc and isinstance(est_doc[group], dict) and key in est_doc[group]:
-            setattr(est, attr, est_doc[group][key])
+            setattr(est, attr, _coerce(est, attr, est_doc[group][key]))
     osqp_doc = est_doc.get("osqp", {})
     for key, attr in _OSQP_KEYMAP.items():
         if key in osqp_doc:
-            setattr(est.osqp, attr, osqp_doc[key])
+            setattr(est.osqp, attr, _coerce(est.osqp, attr, osqp_doc[key]))
 
     ekf = EKFParams()
     ekf_doc = _ros_params(doc, "orien_sub")
     for key, attr in _EKF_KEYMAP.items():
         if key in ekf_doc:
-            setattr(ekf, attr, ekf_doc[key])
+            setattr(ekf, attr, _coerce(ekf, attr, ekf_doc[key]))
 
     return est, ekf
 

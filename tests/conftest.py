@@ -23,3 +23,29 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def run_example(script: str, *args: str, timeout: int = 900):
+    """Run an examples/ CLI driver in a fresh subprocess on the CPU backend.
+
+    Example drivers are real entry points; exercising them via subprocess
+    tests the CLI surface itself and isolates their (large) XLA compilations
+    from the test process — the XLA:CPU compiler has been observed to
+    segfault on big programs compiled late in a long-lived session.
+    Returns the completed process; asserts rc == 0 with the output attached.
+    """
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"{script} rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}"
+    )
+    return proc

@@ -53,15 +53,10 @@ def test_timing_probes(capsys):
 
 
 def test_example_driver(tmp_path):
-    import sys
-    sys.path.insert(0, "examples")
-    import run_go1
+    from conftest import run_example
 
-    rc = run_go1.main([
-        "--ticks", "120", "--est-type", "1", "--gt-orientation",
-        "--log-dir", str(tmp_path), "--cpu",
-    ])
-    assert rc == 0
+    run_example("run_go1.py", "--ticks", "120", "--est-type", "1",
+                "--gt-orientation", "--log-dir", str(tmp_path), "--cpu")
     from decentralized_ekf_mhe_tpu.io import logger as log_io
 
     out = log_io.read_log(str(tmp_path / "go1"))

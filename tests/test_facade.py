@@ -106,10 +106,8 @@ def test_facade_reset():
 
 
 def test_example_run_robot():
-    import sys
-    sys.path.insert(0, "examples")
-    import run_robot
+    from conftest import run_example
 
-    assert run_robot.main(["--robot", "pogox", "--ticks", "80",
-                           "--v-limit", "0.6", "--cpu"]) == 0
-    assert run_robot.main(["--robot", "cassie", "--ticks", "80", "--cpu"]) == 0
+    run_example("run_robot.py", "--robot", "pogox", "--ticks", "80",
+                "--v-limit", "0.6", "--cpu")
+    run_example("run_robot.py", "--robot", "cassie", "--ticks", "80", "--cpu")

@@ -165,11 +165,11 @@ def test_staged_megakernel_pipeline_matches_interleaved():
 
 
 def test_example_run_fleet():
-    import sys
-    sys.path.insert(0, "examples")
-    import run_fleet
+    from conftest import run_example
 
-    assert run_fleet.main(["--cpu", "--instances", "4", "--ticks", "60",
-                           "--sweep"]) == 0
-    assert run_fleet.main(["--cpu", "--instances", "8", "--ticks", "40",
-                           "--mesh"]) == 0
+    out = run_example("run_fleet.py", "--cpu", "--instances", "4",
+                      "--ticks", "60", "--sweep")
+    assert "sweep argmin" in out.stdout
+    out = run_example("run_fleet.py", "--cpu", "--instances", "8",
+                      "--ticks", "40", "--mesh")
+    assert "fleet velocity RMSE" in out.stdout

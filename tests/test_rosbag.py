@@ -136,12 +136,9 @@ def test_estimator_on_raw_replay(log, raw):
 
 
 def test_run_go1_raw_flag(tmp_path, raw):
-    import sys
-    sys.path.insert(0, "examples")
-    import run_go1
+    from conftest import run_example
 
     p = str(tmp_path / "raw.npz")
     replay_io.save_rawlog(p, raw)
-    assert run_go1.main(["--raw", p, "--raw-model", "cartesian",
-                         "--ticks", "100", "--cpu",
-                         "--log-dir", str(tmp_path)]) == 0
+    run_example("run_go1.py", "--raw", p, "--raw-model", "cartesian",
+                "--ticks", "100", "--cpu", "--log-dir", str(tmp_path))
