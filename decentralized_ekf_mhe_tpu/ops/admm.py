@@ -13,8 +13,9 @@ Two entry points:
 - ``solve_box_qp``: dense batched ADMM for min ½xᵀPx + qᵀx s.t. l ≤ Ax ≤ u.
 - ``solve_box_tridiag``: the MHE specialization — P block-tridiagonal (D, U)
   and box constraints directly on states (A = I), so the ADMM x-update stays
-  a banded solve: (D + (σ+ρ)I) x̃ = rhs via one block-Thomas sweep per
-  iteration. Per-iteration cost identical to one unconstrained solve.
+  a banded solve: (D + (σ+ρ)I) x̃ = rhs. The matrix is factorized once per
+  adaptive-ρ epoch (tridiag.factor); iterations in between are
+  substitution-only sweeps, far cheaper than one unconstrained solve.
 
 Both are jit/vmap/scan-safe with static iteration counts; they return primal
 and dual residual norms for OSQP-style convergence diagnostics.
@@ -265,6 +266,14 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
     dimension unconstrained (the reference's placeholder-bound idiom).
 
     Returns ADMMResult(x (K,...,s), z, y, prim_res, dual_res, iters).
+
+    Iterations run in EPOCHS of ``rho_update_every``: the σ/ρ-augmented
+    matrix is block-Thomas-factorized once per epoch (it only changes at
+    adaptive-ρ updates) and the iterations in between are substitution-only
+    sweeps (tridiag.solve_factored) — ~6x less work per iteration than
+    refactorizing. Residuals, the converged-freeze check, and the ρ update
+    run at epoch boundaries, the analog of OSQP's ``check_termination``
+    cadence (OSQP default 25; ours is ``rho_update_every``).
     """
     K, s = D.shape[0], D.shape[-1]
     sigma, alpha = settings.sigma, settings.alpha
@@ -290,25 +299,48 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
         d = done[None, ..., None]
         return jnp.where(d, old_val, new_val)
 
-    def body(carry, it):
+    fac_fixed = None
+    if not settings.adaptive_rho:
+        # ρ never changes: one factorization for the whole run
+        D_aug0 = D + (sigma + rho0)[..., None, None] * eye
+        fac_fixed = tridiag.factor(D_aug0, U, valid=valid)
+
+    def run_epoch(carry, fac, length):
         x, z, y, rho, done, iters = carry
         rho_v = rho[..., None]              # (...,1): over the state axis
-        D_aug = D + (sigma + rho)[..., None, None] * eye
-        rhs = r + sigma * x + rho_v * z - y
-        x_t = tridiag.solve(D_aug, U, rhs, valid=valid)
-        x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
-        z_r = alpha * x_t + (1 - alpha) * z
-        z_n = freeze(jnp.clip(z_r + y / rho_v, lb, ub), z, done)
-        y_n = freeze(y + rho_v * (z_r - z_n), y, done)
-        iters = iters + (~done).astype(jnp.int32)
-        prim = jnp.max(jnp.abs(x_n - z_n), axis=(0, -1))
-        Tx = T_apply_(x_n)
-        dual = jnp.max(jnp.abs(Tx - r + y_n), axis=(0, -1))
-        ps = jnp.maximum(jnp.max(jnp.abs(x_n), axis=(0, -1)),
-                         jnp.max(jnp.abs(z_n), axis=(0, -1)))
+
+        def it_body(c2, _):
+            x, z, y, iters = c2
+            rhs = r + sigma * x + rho_v * z - y
+            x_t = tridiag.solve_factored(fac, rhs, valid=valid)
+            x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
+            z_r = alpha * x_t + (1 - alpha) * z
+            z_n = freeze(jnp.clip(z_r + y / rho_v, lb, ub), z, done)
+            y_n = freeze(y + rho_v * (z_r - z_n), y, done)
+            iters = iters + (~done).astype(jnp.int32)
+            return (x_n, z_n, y_n, iters), None
+
+        (x, z, y, iters), _ = jax.lax.scan(it_body, (x, z, y, iters),
+                                           length=length)
+        return x, z, y, iters
+
+    def epoch(carry, length):
+        x, z, y, rho, done, iters = carry
+        if fac_fixed is not None:
+            fac = fac_fixed
+        else:
+            D_aug = D + (sigma + rho)[..., None, None] * eye
+            fac = tridiag.factor(D_aug, U, valid=valid)
+        x, z, y, iters = run_epoch(carry, fac, length)
+        # epoch-boundary residuals (OSQP §3.4): converged-freeze + ρ update
+        prim = jnp.max(jnp.abs(x - z), axis=(0, -1))
+        Tx = T_apply_(x)
+        dual = jnp.max(jnp.abs(Tx - r + y), axis=(0, -1))
+        ps = jnp.maximum(jnp.max(jnp.abs(x), axis=(0, -1)),
+                         jnp.max(jnp.abs(z), axis=(0, -1)))
         ds = jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Tx), axis=(0, -1)),
-                        jnp.max(jnp.abs(y_n), axis=(0, -1))),
+                        jnp.max(jnp.abs(y), axis=(0, -1))),
             jnp.max(jnp.abs(r), axis=(0, -1)),
         )
         if check:
@@ -318,14 +350,20 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
                 & (dual <= settings.abs_tol + settings.rel_tol * ds)
             )
         if settings.adaptive_rho:
-            rho_new = _rho_update(rho, prim, dual, ps, ds)
-            rho = jnp.where((it % settings.rho_update_every == 0) & ~done,
-                            rho_new, rho)
-        return (x_n, z_n, y_n, rho, done, iters), None
+            rho = jnp.where(~done, _rho_update(rho, prim, dual, ps, ds), rho)
+        return (x, z, y, rho, done, iters)
 
-    (x, z, y, _, done, iters), _ = jax.lax.scan(
-        body, (x, z, y, rho0, done0, it0), jnp.arange(1, settings.iters + 1)
-    )
+    E = max(1, int(settings.rho_update_every))
+    n_full, rem = divmod(int(settings.iters), E)
+    carry = (x, z, y, rho0, done0, it0)
+    if n_full:
+        def scan_epoch(c, _):
+            return epoch(c, E), None
+
+        carry, _ = jax.lax.scan(scan_epoch, carry, length=n_full)
+    if rem:
+        carry = epoch(carry, rem)
+    x, z, y, _, done, iters = carry
 
     if settings.polish:
         act, target = _active_targets(z, jnp.broadcast_to(lb, z.shape),

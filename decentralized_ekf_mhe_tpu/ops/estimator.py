@@ -297,10 +297,6 @@ def ekfblocks_from_log(log, dtype=jnp.float64) -> EKFBlocks:
     )
 
 
-PIPELINE_R_RING = 32  # per-tick orientation history carried for the VO
-# R_pre lookup (DecentralEst.cpp:915); must exceed the VO latency in ticks
-
-
 @full_precision
 def run_pipeline_lanes(
     params: EstimatorParams,
@@ -313,79 +309,46 @@ def run_pipeline_lanes(
     consts=None,
     ekf_ring_len: int = 16,
 ):
-    """Fused EKF(500 Hz) → MHE(200 Hz) fleet replay in lanes layout — the
+    """Staged EKF(500 Hz) → MHE(200 Hz) fleet replay in lanes layout — the
     reference's full two-process pipeline (go1_launch.py:18-63: orien_ekf.cpp
-    timer → imu/filter → EstSub.cpp timerCallback) as ONE jitted scan.
+    timer → imu/filter → EstSub.cpp timerCallback) as one jit of TWO scans.
 
-    Per MHE tick: run that tick's EKF substeps (ekf_lanes.substep_block,
-    masked padding), convert the fused quaternion to R_sb, push it into a
-    PIPELINE_R_RING-tick orientation ring (the rotation stack the reference
-    indexes for R_vo_sb_pre), then run the lanes MHE tick with that
-    orientation. ``data.R_sb`` is IGNORED — orientation comes from the EKF.
+    The reference's dataflow is strictly orien_ekf → imu/filter → est_sub
+    with no feedback, so staging is an exact reordering of the interleaved
+    per-tick composition: stage 1 scans every tick's EKF substeps
+    (ekf_lanes.substep_block, masked padding) producing the fused orientation
+    sequence; stage 2 is the lanes MHE replay (run_mhe_lanes) consuming it.
+    Staging also lets the VO R_pre lookup (the rotation stack the reference
+    indexes at DecentralEst.cpp:915) gather the *exact* per-tick orientation
+    from the full sequence instead of a bounded ring, and compiles ~30x
+    faster than a single fused scan body (XLA's loop passes scale badly in
+    the combined EKF+MHE carry). ``data.R_sb`` is IGNORED — orientation
+    comes from the EKF.
 
     ``data`` fields are lanes-layout time-leading (T,...,B); ``ekf_blocks``
     gyro/accel are lanes (T,S,3,B). Returns (x_seq (T,B,s), v_b (T,B,3),
     q_seq (T,4,B) fused quaternions).
     """
-    from decentralized_ekf_mhe_tpu.ops import ekf_lanes, lanes, mhe, mhe_lanes
+    from decentralized_ekf_mhe_tpu.ops import ekf_lanes, mhe
 
     c = consts if consts is not None else mhe.make_consts(params, dtype)
     ec = ekf_lanes.make_consts(ekf_params, dtype)
-    lever = jnp.asarray(lever_arm, dtype)
-    T_total = data.accel_b.shape[0]
     B = data.accel_b.shape[-1]
-    if vo is None:
-        vo = VOData(
-            active=jnp.zeros(T_total, bool),
-            dp_body=jnp.zeros((T_total, 3), dtype),
-            tick_pre=jnp.zeros(T_total, jnp.int32),
-            tick_now=jnp.zeros(T_total, jnp.int32),
-        )
-    lever_l = jnp.broadcast_to(lever[:, None], (3, B))
-
-    def body_vel(x_T, R_sb, omega_b):
-        return lanes.mv(R_sb, x_T[3:6] + lanes.cross(omega_b, lever_l))
-
-    # tick 0: EKF substeps, then the MHE init (InitializeMHE at T==0,
-    # EstSub.cpp:65-70)
     ekf_st = ekf_lanes.init_state(ekf_params, B, ring_len=ekf_ring_len,
                                   dtype=dtype)
-    eb0 = jax.tree.map(lambda a: a[0], ekf_blocks)
-    ekf_st = ekf_lanes.substep_block(
-        ekf_st, eb0.gyro, eb0.accel, eb0.valid, eb0.vo_active, eb0.vo_q,
-        eb0.vo_steps_back, ec)
-    R0 = ekf_lanes.to_rot(ekf_st.q)
-    d0 = jax.tree.map(lambda a: a[0], data)
-    mhe_st = mhe_lanes.init(c, R0, d0.accel_b, d0.omega_b, d0.p_foot,
-                            d0.J_foot, d0.dq, d0.contact, dtype=dtype)
-    x0 = mhe_lanes.solve_window(c, mhe_st)[c.N - 1]
-    v0 = body_vel(x0, R0, d0.omega_b)
-    R_ring = jnp.zeros((PIPELINE_R_RING, 3, 3, B), dtype).at[0].set(R0)
 
-    def scan_step(carry, inp):
-        ekf_st, mhe_st, R_ring = carry
-        d, eb, v, t = inp
-        ekf_st = ekf_lanes.substep_block(
-            ekf_st, eb.gyro, eb.accel, eb.valid, eb.vo_active, eb.vo_q,
-            eb.vo_steps_back, ec)
-        R_sb = ekf_lanes.to_rot(ekf_st.q)
-        R_ring = R_ring.at[jnp.mod(t, PIPELINE_R_RING)].set(R_sb)
-        vo_R_pre = R_ring[jnp.mod(v.tick_pre, PIPELINE_R_RING)]
-        mhe_st, (x_T, _) = mhe_lanes.step(
-            c, mhe_st, R_sb, d.accel_b, d.omega_b, d.p_foot, d.J_foot, d.dq,
-            d.contact, v.active, v.dp_body, v.tick_pre, v.tick_now, vo_R_pre,
-        )
-        v_b = body_vel(x_T, R_sb, d.omega_b)
-        return (ekf_st, mhe_st, R_ring), (x_T, v_b, ekf_st.q)
+    def ekf_step(st, ebt):
+        st = ekf_lanes.substep_block(
+            st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active, ebt.vo_q,
+            ebt.vo_steps_back, ec)
+        return st, st.q
 
-    ticks = jnp.arange(1, T_total, dtype=jnp.int32)
-    rest = jax.tree.map(lambda a: a[1:], (data, ekf_blocks, vo))
-    _, (x_seq, v_seq, q_seq) = jax.lax.scan(
-        scan_step, (ekf_st, mhe_st, R_ring), rest + (ticks,))
-    x_seq = jnp.concatenate([x0[None], x_seq], axis=0)   # (T,s,B)
-    v_seq = jnp.concatenate([v0[None], v_seq], axis=0)
-    q_seq = jnp.concatenate([ekf_st.q[None], q_seq], axis=0)
-    return (jnp.moveaxis(x_seq, -1, 1), jnp.moveaxis(v_seq, -1, 1), q_seq)
+    _, q_seq = jax.lax.scan(ekf_step, ekf_st, ekf_blocks)   # (T,4,B)
+    R_seq = ekf_lanes.to_rot(q_seq)                         # (T,3,3,B)
+    x_seq, v_seq = run_mhe_lanes(
+        params, data._replace(R_sb=R_seq), vo=vo, lever_arm=lever_arm,
+        dtype=dtype, consts=c)
+    return x_seq, v_seq, q_seq
 
 
 @full_precision

@@ -86,6 +86,66 @@ def solve(D: jnp.ndarray, U: jnp.ndarray, r: jnp.ndarray, valid=None) -> jnp.nda
     return jnp.concatenate([x_rest, x_last[None]], axis=0)
 
 
+def factor(D: jnp.ndarray, U: jnp.ndarray, valid=None):
+    """Precompute the block-Thomas factorization of the system matrix.
+
+    Returns ``(Sinv (K,...,s,s), U_masked (K-1,...,s,s))`` for
+    ``solve_factored``. Amortizes the Gauss-Jordan inverses when one matrix
+    is solved against many right-hand sides — e.g. the ADMM x-update
+    (ops/admm.solve_box_tridiag), whose σ/ρ-augmented matrix only changes at
+    adaptive-ρ updates: iterations between updates become substitution-only
+    (matvec) sweeps.
+    """
+    K, s = D.shape[0], D.shape[-1]
+    eye = jnp.eye(s, dtype=D.dtype)
+    if valid is not None:
+        v = valid[..., None, None].astype(D.dtype)
+        D = D * v + eye * (1.0 - v)
+        vU = (valid[:-1] & valid[1:])[..., None, None].astype(U.dtype)
+        U = U * vU
+
+    from decentralized_ekf_mhe_tpu.ops import smallmat
+
+    def fwd(Sinv_prev, inp):
+        D_j, U_prev = inp
+        S_j = D_j - jnp.swapaxes(U_prev, -1, -2) @ (Sinv_prev @ U_prev)
+        Sinv_j = smallmat.gj_inv(S_j)
+        return Sinv_j, Sinv_j
+
+    Sinv0 = smallmat.gj_inv(D[0])
+    _, Sinv_rest = jax.lax.scan(fwd, Sinv0, (D[1:], U))
+    return jnp.concatenate([Sinv0[None], Sinv_rest], axis=0), U
+
+
+def solve_factored(fac, r: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Solve with a precomputed ``factor`` result — matvec sweeps only."""
+    Sinv, U = fac
+    if valid is not None:
+        r = r * valid[..., None].astype(r.dtype)
+
+    def mv(M, v):
+        return jnp.einsum("...ij,...j->...i", M, v)
+
+    def fwd(y_prev, inp):
+        U_prev, Sinv_prev, r_j = inp
+        y_j = r_j - mv(jnp.swapaxes(U_prev, -1, -2), mv(Sinv_prev, y_prev))
+        return y_j, y_j
+
+    y0 = r[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (U, Sinv[:-1], r[1:]))
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    x_last = mv(Sinv[-1], y[-1])
+
+    def bwd(x_next, inp):
+        Sinv_j, y_j, U_j = inp
+        x_j = mv(Sinv_j, y_j - mv(U_j, x_next))
+        return x_j, x_j
+
+    _, x_rest = jax.lax.scan(bwd, x_last, (Sinv[:-1], y[:-1], U), reverse=True)
+    return jnp.concatenate([x_rest, x_last[None]], axis=0)
+
+
 def solve_dense_check(D, U, r):
     """Reference: assemble the full (K·s, K·s) system and solve densely.
 

@@ -64,20 +64,18 @@ def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
                                ekf_ring_len: int = 16,
                                use_megakernel=False, megakernel_chunk=64,
                                megakernel_interpret=False):
-    """The full-pipeline fleet path: EKF(500 Hz) → MHE(200 Hz) fused in one
-    lanes-layout scan (estimator.run_pipeline_lanes) — the reference's actual
-    production pipeline (go1_launch.py:18-63), batched.
+    """The full-pipeline fleet path: EKF(500 Hz) → MHE(200 Hz) staged in
+    lanes layout (estimator.run_pipeline_lanes) — the reference's actual
+    production pipeline (go1_launch.py:18-63), batched. Staging is an exact
+    reordering because the dataflow is strictly orien_ekf → imu/filter →
+    est_sub, never back.
 
     f(TickData[T,B,...], EKFBlocks lanes, VOData) -> (x[T,B,s], v[T,B,3],
     q[T,4,B]). ``data.R_sb`` is ignored (orientation comes from the EKF).
 
-    ``use_megakernel=True`` runs the pipeline STAGED: because the EKF stage
-    is data-independent of the MHE (the reference's dataflow is strictly
-    orien_ekf → imu/filter → est_sub, never back), the whole fleet EKF runs
-    first as one scan, and the resulting orientation sequence feeds the
-    fused Pallas MHE mega-kernel (pallas/mhe_replay_kernel.py) — identical
-    semantics to the interleaved scan (tests/test_pipeline.py), ~2.5-3x the
-    throughput.
+    ``use_megakernel=True`` swaps the MHE stage's scanned lanes replay for
+    the fused Pallas mega-kernel (pallas/mhe_replay_kernel.py) — identical
+    semantics (tests/test_pipeline.py), ~2.5-3x the throughput.
     """
     from decentralized_ekf_mhe_tpu.ops import ekf_lanes, lanes
     from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
