@@ -82,6 +82,12 @@ class MHEState(NamedTuple):
     prev_R: jnp.ndarray        # (...,3,3)
     prev_accel_s: jnp.ndarray  # (...,3)
     prev_contact: jnp.ndarray  # (...,L)
+    # ADMM warm-start carry for the constrained path: last tick's primal/dual
+    # iterates per window slot, shifted with the window each tick (the
+    # reference runs OSQP with setWarmStart(true), DecentralEst.cpp:204).
+    # Zeros (and unused) on unconstrained configs.
+    z_adm: jnp.ndarray = ()    # (...,N,s)
+    y_adm: jnp.ndarray = ()    # (...,N,s)
 
 
 def make_consts(p: EstimatorParams, dtype=jnp.float32,
@@ -165,6 +171,8 @@ def init(
         prev_R=R_sb,
         prev_accel_s=assembly.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
+        z_adm=z((N, s)),
+        y_adm=z((N, s)),
     )
 
 
@@ -326,8 +334,8 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
     """Solve the current window; returns (..., N, s) states (zeros on dead slots).
 
     Unconstrained configs use the exact one-sweep solve; with state box
-    constraints (c.x_lb/x_ub set) the OSQP-semantics ADMM runs, each iteration
-    one block-Thomas sweep on the σ/ρ-augmented system.
+    constraints (c.x_lb/x_ub set) the OSQP-semantics ADMM runs (warm-started
+    from st.z_adm/y_adm — setWarmStart(true), DecentralEst.cpp:204).
     """
     D, U, r, valid = assemble_normal_equations(c, st)
     Dl = jnp.moveaxis(D, -3, 0)
@@ -344,9 +352,29 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
         from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
 
         x = admm_lib.solve_box_tridiag(
-            Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl
+            Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl,
+            z0=jnp.moveaxis(st.z_adm, -2, 0), y0=jnp.moveaxis(st.y_adm, -2, 0),
         ).x
     return jnp.moveaxis(x, 0, -2)
+
+
+@full_precision
+def solve_window_with_duals(c: MHEConsts, st: MHEState):
+    """Constrained solve that also returns the ADMM iterates for the next
+    tick's warm start: (x (...,N,s), z (...,N,s), y (...,N,s))."""
+    from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
+    D, U, r, valid = assemble_normal_equations(c, st)
+    Dl = jnp.moveaxis(D, -3, 0)
+    Ul = jnp.moveaxis(U, -3, 0)[:-1]
+    rl = jnp.moveaxis(r, -2, 0)
+    vl = jnp.moveaxis(jnp.broadcast_to(valid, r.shape[:-1]), -1, 0)
+    res = admm_lib.solve_box_tridiag(
+        Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl,
+        z0=jnp.moveaxis(st.z_adm, -2, 0), y0=jnp.moveaxis(st.y_adm, -2, 0),
+    )
+    mv = lambda a: jnp.moveaxis(a, 0, -2)
+    return mv(res.x), mv(res.z), mv(res.y)
 
 
 @full_precision
@@ -423,8 +451,17 @@ def step(
         prev_R=R_sb,
         prev_accel_s=assembly.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
+        # warm-start iterates travel with their window slots; the fresh slot
+        # N−1 reuses the previous newest iterate (consecutive states are
+        # close at 200 Hz)
+        z_adm=_shift_set(st.z_adm, nd - 2, {N - 1: st.z_adm[..., N - 1, :]}),
+        y_adm=_shift_set(st.y_adm, nd - 2, {N - 1: st.y_adm[..., N - 1, :]}),
     )
 
-    x_window = solve_window(c, st)
+    if c.x_lb is not None:
+        x_window, z_w, y_w = solve_window_with_duals(c, st)
+        st = st._replace(z_adm=z_w, y_adm=y_w)
+    else:
+        x_window = solve_window(c, st)
     x_T = x_window[..., N - 1, :]
     return st, (x_T, x_window)
