@@ -209,7 +209,7 @@ def main():
         extras["pipeline_megakernel_rmse"] = round(rmse_mk, 5)
         print(f"pipeline (EKF+MHE, staged mega-kernel): compile {c_pmk:.1f}s, "
               f"{rate_pipe_mk:,.0f} ticks/s "
-              f"({rate_pipe_mk / rate_pipe:.2f}x interleaved), "
+              f"({rate_pipe_mk / rate_pipe:.2f}x scanned), "
               f"RMSE {rmse_mk:.4f}", file=sys.stderr)
         assert rmse_mk < 0.1
     except Exception as e:
@@ -321,7 +321,7 @@ def main():
     best = max(rate_pipe, rate_pipe_mk)
     impl = ("staged: EKF lanes scan + whole-tick Pallas mega-kernel MHE"
             if rate_pipe_mk > rate_pipe
-            else "interleaved lanes scan, Pallas window solve")
+            else "staged lanes scans, Pallas window solve")
     print(json.dumps({
         "metric": "mhe_solves_per_s_per_chip",
         "value": round(best, 1),
