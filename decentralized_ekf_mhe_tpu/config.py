@@ -224,7 +224,15 @@ def _coerce(obj: Any, attr: str, value: Any) -> Any:
             return value.strip().lower() in ("true", "1", "yes", "on")
         return bool(value)
     if isinstance(cur, int) and not isinstance(value, (list, dict)):
-        return int(float(value))
+        f = float(value)
+        if not f.is_integer():
+            # rclcpp would raise InvalidParameterTypeException on a double
+            # handed to an integer parameter; surface the mismatch rather
+            # than silently truncating (e.g. '2.7' -> 2).
+            raise ValueError(
+                f"parameter {attr!r} expects an integer, got {value!r}"
+            )
+        return int(f)
     if isinstance(cur, float) and not isinstance(value, (list, dict)):
         return float(value)
     if isinstance(cur, list) and isinstance(value, (list, tuple)):

@@ -149,10 +149,9 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
         d = done[..., None]
         return jnp.where(d, old_val, new_val)
 
-    def body(carry, it):
+    def body(carry, it, Kinv):
         x, z, y, rho, done, iters, pinf, dinf = carry
         rho_v = rho[..., None]           # broadcast over the variable axis
-        Kinv = smallmat.gj_inv(P + sigma * eye + rho[..., None, None] * AtA)
         rhs = sigma * x - q + jnp.einsum("...ij,...j->...i", At, rho_v * z - y)
         x_t = jnp.einsum("...ij,...j->...i", Kinv, rhs)
         x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
@@ -229,12 +228,33 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
                             rho_new, rho)
         return (x_n, z_n, y_n, rho, done, iters, pinf, dinf), None
 
-    (x, z, y, _, done, iters, pinf, dinf), _ = jax.lax.scan(
-        body,
-        (x, z, y, rho0 * jnp.ones(batch_shape, P.dtype), done0, it0,
-         done0, done0),
-        jnp.arange(1, settings.iters + 1)
-    )
+    def factor(rho):
+        return smallmat.gj_inv(P + sigma * eye + rho[..., None, None] * AtA)
+
+    # The x-update matrix depends only on ρ, which changes only at
+    # it % rho_update_every == 0 boundaries — factorize once per ρ-epoch
+    # (mirror of the tridiag path); per-iteration residuals/certificates/
+    # freeze semantics are unchanged.
+    def epoch(carry, its):
+        Kinv = (factor(carry[3]) if settings.adaptive_rho else Kinv_fixed)
+
+        def body_k(c2, it):
+            return body(c2, it, Kinv)
+
+        return jax.lax.scan(body_k, carry, its)[0]
+
+    carry = (x, z, y, rho0 * jnp.ones(batch_shape, P.dtype), done0, it0,
+             done0, done0)
+    Kinv_fixed = None if settings.adaptive_rho else factor(carry[3])
+    E = max(1, int(settings.rho_update_every))
+    n_full, rem = divmod(int(settings.iters), E)
+    if n_full:
+        its_full = jnp.arange(1, n_full * E + 1).reshape(n_full, E)
+        carry, _ = jax.lax.scan(
+            lambda c_, its: (epoch(c_, its), None), carry, its_full)
+    if rem:
+        carry = epoch(carry, jnp.arange(n_full * E + 1, settings.iters + 1))
+    (x, z, y, _, done, iters, pinf, dinf) = carry
     if settings.polish:
         act, target = _active_targets(z, l, u)
         diagP = jnp.abs(jnp.diagonal(P, axis1=-2, axis2=-1))
@@ -257,7 +277,7 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
 
 
 def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
-                      valid=None, z0=None, y0=None):
+                      valid=None, z0=None, y0=None, x0=None):
     """Box-constrained block-tridiagonal QP: min ½xᵀTx − rᵀx s.t. lb ≤ x ≤ ub,
     with T given by diagonal blocks D (K,...,s,s) and couplings U.
 
@@ -285,8 +305,10 @@ def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
         out = out.at[1:].add(jnp.einsum("k...ji,k...j->k...i", U, xv[:-1]))
         return out
 
-    x = jnp.zeros_like(r)
-    z = x if z0 is None else z0
+    # OSQP's setWarmStart(true) (DecentralEst.cpp:204) warm-starts x as well
+    # as (z, y); default x to the warm z iterate when one is supplied.
+    z = jnp.zeros_like(r) if z0 is None else z0
+    x = (z if z0 is not None else jnp.zeros_like(r)) if x0 is None else x0
     y = jnp.zeros_like(r) if y0 is None else y0
     batch_shape = r.shape[1:-1]
     rho0 = jnp.asarray(settings.rho, D.dtype) * jnp.ones(batch_shape, D.dtype)

@@ -34,6 +34,14 @@ def load_carry(path: str, like):
     like_leaves = jax.tree.leaves(like)
     leaves = []
     for i, ref in enumerate(like_leaves):
-        arr = data[f"leaf_{i}"]
-        leaves.append(jnp.asarray(arr, getattr(ref, "dtype", None)))
+        key = f"leaf_{i}"
+        if key in data:
+            leaves.append(jnp.asarray(data[key], getattr(ref, "dtype", None)))
+        else:
+            # Forward compatibility: a carry type may gain TRAILING fields
+            # (e.g. MHEState's ADMM warm-start iterates z_adm/y_adm) after a
+            # snapshot was written. Missing trailing leaves resume from the
+            # template's values — correct for warm-start/diagnostic state,
+            # whose zero/fresh value is a valid cold start.
+            leaves.append(jnp.asarray(ref))
     return jax.tree.unflatten(treedef, leaves)
