@@ -217,29 +217,35 @@ def main():
               f"{type(e).__name__}: {e}", file=sys.stderr)
         extras["pipeline_megakernel_ticks_per_s"] = None
 
-    # ---- constrained MHE (velocity box, OSQP-semantics ADMM) ------------
+    # ---- constrained MHE (velocity box, lanes OSQP-semantics ADMM) ------
+    # Fleet-scale constrained path: the same B-instance fleet as the headline
+    # but every window solve is the warm-started box-ADMM
+    # (admm.solve_box_tridiag_lanes; MheSrb.cpp:272-349 constraint
+    # capability). The |v|<=0.3 box genuinely binds on this log (unconstrained
+    # max|v| is 0.386) — asserted active AND respected below.
     s_dim = params.dim_state
-    x_lb = np.full(s_dim, -np.inf); x_lb[3:6] = -1.0
-    x_ub = np.full(s_dim, np.inf); x_ub[3:6] = 1.0
+    vbound = 0.3
+    x_lb = np.full(s_dim, -np.inf); x_lb[3:6] = -vbound
+    x_ub = np.full(s_dim, np.inf); x_ub[3:6] = vbound
     params.osqp.abs_tol = 1e-6
     params.osqp.relative_tol = 1e-6
     c_con = mhe.make_consts(params, dtype, x_lb=x_lb, x_ub=x_ub,
                             admm_iters=50)
-    Bc = min(B, 256)
-    data_c = batch_lib.to_time_leading(
-        batch_lib.perturb_log_batch(data, Bc, key, dtype=dtype))
-
-    con = jax.jit(lambda d, v: estimator.run_mhe(params, d, vo=v, dtype=dtype,
-                                                 consts=c_con))
-    c_adm, w_adm, (x_c, _) = timed(con, data_c, vo, jitter=jit_data)
-    rate_con = Bc * (T - 1) / w_adm
+    con = jax.jit(batch_lib.make_lanes_fleet_runner(params, dtype,
+                                                    use_pallas=False,
+                                                    consts=c_con))
+    c_adm, w_adm, (x_c, _) = timed(con, data_b, vo, jitter=jit_data)
+    rate_con = B * (T - 1) / w_adm
     extras["compile_s_constrained"] = round(c_adm, 1)
     extras["constrained_admm_solves_per_s"] = round(rate_con, 0)
+    extras["constrained_box_bound"] = vbound
     vmax = float(np.abs(np.asarray(x_c[..., 3:6])).max())
-    print(f"constrained MHE (ADMM, box |v|<=1): compile {c_adm:.1f}s, "
-          f"B={Bc}: {rate_con:,.0f} solves/s, max|v|={vmax:.3f}",
-          file=sys.stderr)
-    assert vmax <= 1.0 + 1e-3, "box constraint violated"
+    extras["constrained_max_abs_v"] = round(vmax, 4)
+    print(f"constrained MHE (lanes ADMM, box |v|<={vbound}): "
+          f"compile {c_adm:.1f}s, B={B}: {rate_con:,.0f} solves/s, "
+          f"max|v|={vmax:.4f} (bound active)", file=sys.stderr)
+    assert vmax <= vbound + 1e-3, "box constraint violated"
+    assert vmax >= vbound - 1e-2, "box constraint never active"
 
     # ---- f32 accuracy gate vs the CPU float64 oracle --------------------
     with tempfile.TemporaryDirectory() as td:

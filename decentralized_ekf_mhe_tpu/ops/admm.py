@@ -276,6 +276,135 @@ def solve_box_qp(P, q, A, l, u, settings: ADMMSettings, x0=None, z0=None, y0=Non
     return ADMMResult(x, z, y, prim, dual, iters, pinf=pinf, dinf=dinf)
 
 
+def solve_box_tridiag_lanes(D, U, r, lb, ub, settings: ADMMSettings,
+                            valid=None, z0=None, y0=None, x0=None):
+    """Instance-on-lanes twin of ``solve_box_tridiag`` — the FLEET-scale
+    constrained MHE path (MheSrb.cpp:272-349 inequality capability at
+    Monte-Carlo batch sizes).
+
+    Layout: D (K,s,s,B), U (K-1,s,s,B), r (K,s,B) with the instance batch B
+    on the minor (lane) axis (ops/lanes.py); bounds lb/ub are (s,) shared
+    across the fleet (±inf ⇒ unconstrained dim); ``valid`` is a shared (K,)
+    warmup mask. Same ρ/σ/α/adaptive-ρ/converged-freeze/polish semantics as
+    the standard-layout solver (equivalence at f64:
+    tests/test_mhe_lanes.py::test_constrained_lanes_matches_standard); the
+    x-update matrix is factorized once per ρ-epoch (lanes.thomas_factor) and
+    iterations in between are substitution-only sweeps.
+
+    Returns ADMMResult with x/z/y (K,s,B) and per-instance (B,) residuals.
+    """
+    K, s, B = D.shape[0], D.shape[1], r.shape[-1]
+    sigma, alpha = settings.sigma, settings.alpha
+    eye_l = jnp.eye(s, dtype=D.dtype)[:, :, None]          # (s,s,1)
+
+    if valid is not None:
+        v = valid[:, None, None, None].astype(D.dtype)
+        D = D * v + eye_l[None] * (1.0 - v)
+        r = r * valid[:, None, None].astype(r.dtype)
+        vU = (valid[:-1] & valid[1:])[:, None, None, None].astype(U.dtype)
+        U = U * vU
+
+    lb_l = jnp.asarray(lb, D.dtype)[:, None]               # (s,1) over lanes
+    ub_l = jnp.asarray(ub, D.dtype)[:, None]
+
+    from decentralized_ekf_mhe_tpu.ops import lanes
+
+    def T_apply(xv):
+        out = lanes.mv(D, xv)
+        out = out.at[:-1].add(lanes.mv(U, xv[1:]))
+        out = out.at[1:].add(lanes.mv_t(U, xv[:-1]))
+        return out
+
+    z = jnp.zeros_like(r) if z0 is None else z0
+    x = (z if z0 is not None else jnp.zeros_like(r)) if x0 is None else x0
+    y = jnp.zeros_like(r) if y0 is None else y0
+    rho0 = jnp.asarray(settings.rho, D.dtype) * jnp.ones((B,), D.dtype)
+    done0 = jnp.zeros((B,), bool)
+    it0 = jnp.zeros((B,), jnp.int32)
+    check = settings.abs_tol > 0.0 or settings.rel_tol > 0.0
+
+    def freeze(new_val, old_val, done):
+        return jnp.where(done[None, None, :], old_val, new_val)
+
+    def factor(rho):
+        return lanes.thomas_factor(
+            D + (sigma + rho)[None, None, None, :] * eye_l[None], U)
+
+    # ONE flat iteration scan with the factorization CARRIED and recomputed
+    # under a scalar lax.cond only at ρ-epoch starts (it = kE+1). A nested
+    # scan-of-epochs(inner scan + factor) structure was tried first and cost
+    # >10 min of TPU compile inside the tick scan (the backend's loop passes
+    # scale badly with scan nesting — same pathology as the round-3
+    # while_loop note in this file's tridiag twin); the flat scan compiles
+    # with the rest of the tick. Iterate sequence is IDENTICAL (ρ only
+    # changes at epoch ends, so the carried factorization is exact).
+    E = max(1, int(settings.rho_update_every))
+    fac0 = factor(rho0)
+
+    def body(carry, it):
+        x, z, y, rho, done, iters, fac = carry
+        if settings.adaptive_rho:
+            fac = jax.lax.cond(
+                (jax.lax.rem(it - 1, E) == 0) & (it > 1),
+                lambda f_: factor(rho), lambda f_: f_, fac)
+        rho_v = rho[None, None, :]            # broadcast over (K, s)
+        rhs = r + sigma * x + rho_v * z - y
+        x_t = lanes.thomas_solve_factored(fac, rhs)
+        x_n = freeze(alpha * x_t + (1 - alpha) * x, x, done)
+        z_r = alpha * x_t + (1 - alpha) * z
+        z_n = freeze(jnp.clip(z_r + y / rho_v, lb_l, ub_l), z, done)
+        y_n = freeze(y + rho_v * (z_r - z_n), y, done)
+        iters = iters + (~done).astype(jnp.int32)
+
+        def epoch_end(rho, done):
+            # epoch-boundary residuals (OSQP §3.4): freeze + ρ update
+            prim = jnp.max(jnp.abs(x_n - z_n), axis=(0, 1))
+            Tx = T_apply(x_n)
+            dual = jnp.max(jnp.abs(Tx - r + y_n), axis=(0, 1))
+            ps = jnp.maximum(jnp.max(jnp.abs(x_n), axis=(0, 1)),
+                             jnp.max(jnp.abs(z_n), axis=(0, 1)))
+            ds = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Tx), axis=(0, 1)),
+                            jnp.max(jnp.abs(y_n), axis=(0, 1))),
+                jnp.max(jnp.abs(r), axis=(0, 1)),
+            )
+            if check:
+                done = done | (
+                    (prim <= settings.abs_tol + settings.rel_tol * ps)
+                    & (dual <= settings.abs_tol + settings.rel_tol * ds)
+                )
+            if settings.adaptive_rho:
+                rho = jnp.where(~done,
+                                _rho_update(rho, prim, dual, ps, ds), rho)
+            return rho, done
+
+        if check or settings.adaptive_rho:
+            rho, done = jax.lax.cond(
+                jax.lax.rem(it, E) == 0, epoch_end,
+                lambda rho, done: (rho, done), rho, done)
+        return (x_n, z_n, y_n, rho, done, iters, fac), None
+
+    carry = (x, z, y, rho0, done0, it0, fac0)
+    carry, _ = jax.lax.scan(body, carry,
+                            jnp.arange(1, settings.iters + 1))
+    x, z, y, _, done, iters, _ = carry
+
+    if settings.polish:
+        act, target = _active_targets(z, jnp.broadcast_to(lb_l, z.shape),
+                                      jnp.broadcast_to(ub_l, z.shape))
+        diagD = jnp.abs(jnp.sum(D * eye_l[None], axis=-3))  # (K,s,B)
+        pen = settings.polish_penalty * (
+            jnp.max(diagD, axis=-2, keepdims=True) + diagD
+        )
+        D_p = D + (act * pen)[:, :, None, :] * eye_l[None]
+        r_p = r + act * pen * target
+        x = lanes.thomas_solve(D_p, U, r_p)
+
+    prim = jnp.max(jnp.abs(x - z), axis=(0, 1))
+    dual = jnp.max(jnp.abs(T_apply(x) - r + y), axis=(0, 1))
+    return ADMMResult(x, z, y, prim, dual, iters)
+
+
 def solve_box_tridiag(D, U, r, lb, ub, settings: ADMMSettings,
                       valid=None, z0=None, y0=None, x0=None):
     """Box-constrained block-tridiagonal QP: min ½xᵀTx − rᵀx s.t. lb ≤ x ≤ ub,

@@ -206,11 +206,14 @@ def accel_correct(q, P, accel, c: EKFConstsL):
 
 def vo_correct(q, P, q_vo, c: EKFConstsL):
     """Full-quaternion VO correction, H = I₄ (orien_ekf.cpp:144-154);
-    ``q_vo`` is the shared (4,) measured quaternion."""
+    ``q_vo`` is the measured quaternion — shared (4,) or per-lane (4,B)
+    (Monte-Carlo fleets perturbing vision content per instance)."""
     B = q.shape[-1]
     S = P + jnp.asarray(c.C_vo, q.dtype)[:, :, None]
     K = lanes.mm(P, lanes.gj_inv(S))
-    q_vo_l = jnp.broadcast_to(jnp.asarray(q_vo, q.dtype)[:, None], (4, B))
+    q_vo = jnp.asarray(q_vo, q.dtype)
+    q_vo_l = jnp.broadcast_to(
+        q_vo[:, None] if q_vo.ndim == 1 else q_vo, (4, B))
     q_new = normalize(q + lanes.mv(K, q_vo_l - q))
     eye4 = jnp.eye(4, dtype=q.dtype)[:, :, None]
     P_new = lanes.mm(eye4 - K, P)
@@ -242,12 +245,62 @@ def _replay(state: EKFStateL, q_vo, steps_back, c: EKFConstsL):
     return jax.lax.fori_loop(0, R, body, (q0, P0))
 
 
+def _gather_ring(hist, slot):
+    """hist (R, ..., B) gathered at per-lane ring slots slot (B,)."""
+    tail = hist.shape[1:]
+    idx = slot.reshape((1,) * len(tail) + slot.shape)
+    idx = jnp.broadcast_to(idx, (1,) + tail)
+    return jnp.take_along_axis(hist, idx, axis=0)[0]
+
+
+def _replay_per_lane(state: EKFStateL, q_vo, steps_back, lane_valid,
+                     c: EKFConstsL):
+    """Per-lane delayed-VO replay: ``steps_back`` (B,) int32, ``q_vo`` (4,B),
+    ``lane_valid`` (B,) bool. The rewind/replay of orien_ekf.cpp:186-205 runs
+    MASKED per lane (the jit-safe analog of per-instance event timing): each
+    lane rewinds to its own sync slot and replays its own number of steps;
+    lanes with lane_valid=False return their current (q, P) untouched.
+    Equivalence with the shared-schedule path on a uniform fleet and with the
+    vmapped single-instance EKF on a mixed fleet:
+    tests/test_per_instance_vo.py."""
+    R = state.gyro_hist.shape[0]
+    sb = jnp.where(lane_valid, steps_back, 1)       # benign index for masked
+    sync_slot = jnp.mod(state.t - sb, R)            # (B,)
+    q0 = _gather_ring(state.q_hist, sync_slot)
+    P0 = _gather_ring(state.P_hist, sync_slot)
+
+    def body(i, carry):
+        q, P = carry
+        slot = jnp.mod(sync_slot + i, R)
+        gyro_i = _gather_ring(state.gyro_hist, slot)
+        accel_i = _gather_ring(state.accel_hist, slot)
+        qp, Pp = predict(q, P, gyro_i, c)
+        qc, Pc = accel_correct(qp, Pp, accel_i, c)
+        qc, Pc = jax.lax.cond(
+            i == 0, lambda q_, P_: vo_correct(q_, P_, q_vo, c),
+            lambda q_, P_: (q_, P_), qc, Pc)
+        step_on = (i < sb - 1) & lane_valid          # (B,)
+        q = jnp.where(step_on[None, :], qc, q)
+        P = jnp.where(step_on[None, None, :], Pc, P)
+        return q, P
+
+    q_r, P_r = jax.lax.fori_loop(0, R, body, (q0, P0))
+    q = jnp.where(lane_valid[None, :], q_r, state.q)
+    P = jnp.where(lane_valid[None, None, :], P_r, state.P)
+    return q, P
+
+
 @full_precision
 def tick(state: EKFStateL, gyro, accel, vo_active, q_vo, vo_steps_back,
          c: EKFConstsL) -> EKFStateL:
     """One EKF tick — mirror of ekf.tick (orien_ekf.cpp:77-106): push history,
-    delayed-VO replay if valid, predict, accel-correct. gyro/accel are (3,B);
-    vo metadata are shared log-driven scalars."""
+    delayed-VO replay if valid, predict, accel-correct. gyro/accel are (3,B).
+
+    VO metadata are either shared log-driven scalars (vo_active/vo_steps_back
+    scalar, q_vo (4,) or (4,B)) or PER-LANE event streams (vo_active (B,),
+    vo_steps_back (B,), q_vo (4,B)) — detected by vo_active's rank. The
+    per-lane path runs the masked replay (_replay_per_lane), gated by a real
+    lax.cond on "any lane active" so quiet ticks stay cheap."""
     R = state.gyro_hist.shape[0]
     slot = jnp.mod(state.t, R)
     state = state._replace(
@@ -257,18 +310,26 @@ def tick(state: EKFStateL, gyro, accel, vo_active, q_vo, vo_steps_back,
         P_hist=state.P_hist.at[slot].set(state.P),
     )
 
-    valid = jnp.logical_and(
-        jnp.asarray(vo_active, bool),
-        jnp.logical_and(
-            vo_steps_back >= 1,
-            jnp.logical_and(vo_steps_back <= state.t, vo_steps_back < R),
-        ),
+    vo_active = jnp.asarray(vo_active, bool)
+    vo_steps_back = jnp.asarray(vo_steps_back, jnp.int32)
+    valid = (
+        vo_active
+        & (vo_steps_back >= 1)
+        & (vo_steps_back <= state.t)
+        & (vo_steps_back < R)
     )
-    q, P = jax.lax.cond(
-        valid,
-        lambda: _replay(state, q_vo, vo_steps_back, c),
-        lambda: (state.q, state.P),
-    )
+    if vo_active.ndim == 1:
+        q, P = jax.lax.cond(
+            jnp.any(valid),
+            lambda: _replay_per_lane(state, q_vo, vo_steps_back, valid, c),
+            lambda: (state.q, state.P),
+        )
+    else:
+        q, P = jax.lax.cond(
+            valid,
+            lambda: _replay(state, q_vo, vo_steps_back, c),
+            lambda: (state.q, state.P),
+        )
     q_pred, P_pred = predict(q, P, gyro, c)
     q_corr, P_corr = accel_correct(q_pred, P_pred, accel, c)
     return state._replace(q=q_corr, P=P_corr, t=state.t + 1)
@@ -280,9 +341,11 @@ def substep_block(state: EKFStateL, gyro_blk, accel_blk, valid_blk,
     """Run one MHE tick's worth of EKF substeps (the 500/200 Hz rate-mismatch
     sub-stepping of SURVEY §2's parallelism table).
 
-    Args are padded per-tick blocks: gyro/accel (S,3,B); valid/vo_active (S,)
-    shared bools (False ⇒ padding slot, skipped via a real lax.cond);
-    vo_q (S,4) shared; vo_sb (S,) int32. Returns the advanced state.
+    Args are padded per-tick blocks: gyro/accel (S,3,B); valid (S,) shared
+    bools (False ⇒ padding slot, skipped via a real lax.cond). VO metadata
+    are shared (vo_active (S,), vo_q (S,4) or (S,4,B), vo_sb (S,)) or
+    per-lane (vo_active (S,B), vo_q (S,4,B), vo_sb (S,B)) — see tick().
+    Returns the advanced state.
     """
     S = gyro_blk.shape[0]
 

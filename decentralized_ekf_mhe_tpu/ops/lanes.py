@@ -169,6 +169,42 @@ def inv(A):
     return inv3(A) if A.shape[-2] == 3 else gj_inv(A)
 
 
+def thomas_factor(D, U):
+    """Precompute the block-Thomas factorization in lanes layout.
+
+    Returns ``(Sinv (N,s,s,B), U)`` for ``thomas_solve_factored`` — the lanes
+    twin of ops/tridiag.factor. Amortizes the Gauss-Jordan inverses across
+    many right-hand sides (the ADMM x-update re-solves the same σ/ρ-augmented
+    matrix every iteration within a ρ-epoch).
+    """
+    N = D.shape[0]
+    Sinv = [None] * N
+    Sinv[0] = gj_inv(D[0])
+    for j in range(1, N):
+        W = mm(Sinv[j - 1], U[j - 1])
+        S_j = D[j] - mm_tn(U[j - 1], W)
+        Sinv[j] = gj_inv(S_j)
+    return jnp.stack(Sinv, axis=0), U
+
+
+def thomas_solve_factored(fac, r):
+    """Solve with a precomputed ``thomas_factor`` result — matvec sweeps only.
+
+    Args: fac from thomas_factor; r (N, s, B). Returns x (N, s, B).
+    """
+    Sinv, U = fac
+    N = r.shape[0]
+    y = [None] * N
+    y[0] = r[0]
+    for j in range(1, N):
+        y[j] = r[j] - mv_t(U[j - 1], mv(Sinv[j - 1], y[j - 1]))
+    x = [None] * N
+    x[N - 1] = mv(Sinv[N - 1], y[N - 1])
+    for j in range(N - 2, -1, -1):
+        x[j] = mv(Sinv[j], y[j] - mv(U[j], x[j + 1]))
+    return jnp.stack(x, axis=0)
+
+
 def thomas_solve(D, U, r):
     """Block-Thomas sweep on a lanes-layout SPD block-tridiagonal system —
     the XLA twin of the Pallas kernel (pallas/tridiag_kernel.py), unrolled

@@ -44,6 +44,11 @@ class MHEStateL(NamedTuple):
     prev_R: jnp.ndarray        # (3,3,B)
     prev_accel_s: jnp.ndarray  # (3,B)
     prev_contact: jnp.ndarray  # (L,B)
+    # ADMM warm-start iterates for the constrained path (lanes twin of
+    # MHEState.z_adm/y_adm; OSQP setWarmStart(true), DecentralEst.cpp:204).
+    # Empty tuples (and unused) on unconstrained configs.
+    z_adm: jnp.ndarray = ()    # (N,s,B)
+    y_adm: jnp.ndarray = ()    # (N,s,B)
 
 
 def to_lanes_state(st) -> MHEStateL:
@@ -60,6 +65,8 @@ def to_lanes_state(st) -> MHEStateL:
         prev_R=lanes.to_lanes(st.prev_R),
         prev_accel_s=lanes.to_lanes(st.prev_accel_s),
         prev_contact=lanes.to_lanes(st.prev_contact),
+        z_adm=() if isinstance(st.z_adm, tuple) else lanes.to_lanes(st.z_adm),
+        y_adm=() if isinstance(st.y_adm, tuple) else lanes.to_lanes(st.y_adm),
     )
 
 
@@ -101,6 +108,8 @@ def init(
         prev_R=R_sb,
         prev_accel_s=assembly_lanes.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
+        z_adm=z((N, s)) if c.x_lb is not None else (),
+        y_adm=z((N, s)) if c.x_lb is not None else (),
     )
 
 
@@ -146,7 +155,9 @@ def _apply_vo(c: MHEConsts, st: MHEStateL, vo_R_pre, vo_dp, vo_tick_pre, vo_tick
     B = st.prev_accel_s.shape[-1]
 
     R_pre = vo_R_pre                                 # (3,3,B)
-    dp = jnp.broadcast_to(vo_dp[:, None], (3, B))
+    # dp is shared (3,) or per-lane (3,B) (Monte-Carlo vision content noise)
+    dp = jnp.broadcast_to(vo_dp[:, None] if vo_dp.ndim == 1 else vo_dp,
+                          (3, B))
     inc = lanes.mv(R_pre, dp)                        # (3,B)
     p_accum = st.bez.p_accum + inc.T                 # carry is (B,3)
     bez_c = st.bez._replace(p_accum=p_accum)
@@ -281,9 +292,7 @@ def assemble_normal_equations(c: MHEConsts, st: MHEStateL):
     return D, U, r, state_valid
 
 
-@full_precision
-def solve_window(c: MHEConsts, st: MHEStateL) -> jnp.ndarray:
-    """Solve the current window; returns (N, s, B) (zeros on dead slots)."""
+def _masked_system(c: MHEConsts, st: MHEStateL):
     D, U, r, valid = assemble_normal_equations(c, st)
     s = c.dim_state
     eye = jnp.eye(s, dtype=D.dtype)[:, :, None]
@@ -292,11 +301,41 @@ def solve_window(c: MHEConsts, st: MHEStateL) -> jnp.ndarray:
     r = r * valid.astype(r.dtype)[:, None, None]
     vU = (valid[:-1] & valid[1:]).astype(D.dtype)[:, None, None, None]
     U = U[:-1] * vU
+    return D, U, r
+
+
+@full_precision
+def solve_window(c: MHEConsts, st: MHEStateL) -> jnp.ndarray:
+    """Solve the current window; returns (N, s, B) (zeros on dead slots).
+
+    Unconstrained configs solve exactly (Pallas kernel or XLA Thomas sweep);
+    with state box constraints (c.x_lb/x_ub) the lanes OSQP-semantics ADMM
+    runs, warm-started from st.z_adm/y_adm."""
+    D, U, r = _masked_system(c, st)
+    if c.x_lb is not None:
+        from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
+        return admm_lib.solve_box_tridiag_lanes(
+            D, U, r, c.x_lb, c.x_ub, c.admm, z0=st.z_adm, y0=st.y_adm,
+        ).x
     if c.use_pallas:
         from decentralized_ekf_mhe_tpu.pallas import tridiag_kernel as tk
 
         return tk.solve_lanes(D, U, r)
     return lanes.thomas_solve(D, U, r)
+
+
+@full_precision
+def solve_window_with_duals(c: MHEConsts, st: MHEStateL):
+    """Constrained solve returning the ADMM iterates for the next tick's warm
+    start: (x, z, y), each (N, s, B)."""
+    from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
+    D, U, r = _masked_system(c, st)
+    res = admm_lib.solve_box_tridiag_lanes(
+        D, U, r, c.x_lb, c.x_ub, c.admm, z0=st.z_adm, y0=st.y_adm,
+    )
+    return res.x, res.z, res.y
 
 
 def _shift_set(arr, new_vals: dict):
@@ -399,8 +438,18 @@ def _tick_tail(c: MHEConsts, st: MHEStateL, R_sb, accel_b, omega_b, p_foot,
         prev_R=R_sb,
         prev_accel_s=assembly_lanes.spatial_accel(R_sb, accel_b, c.nc),
         prev_contact=contact,
+        # warm-start iterates travel with their window slots; the fresh slot
+        # N−1 reuses the previous newest iterate (mirror of mhe.step)
+        z_adm=_shift_set(st.z_adm, {N - 1: st.z_adm[N - 1]})
+        if c.x_lb is not None else st.z_adm,
+        y_adm=_shift_set(st.y_adm, {N - 1: st.y_adm[N - 1]})
+        if c.x_lb is not None else st.y_adm,
     )
 
-    x_window = solve_window(c, st)
+    if c.x_lb is not None:
+        x_window, z_w, y_w = solve_window_with_duals(c, st)
+        st = st._replace(z_adm=z_w, y_adm=y_w)
+    else:
+        x_window = solve_window(c, st)
     x_T = x_window[N - 1]
     return st, (x_T, x_window)

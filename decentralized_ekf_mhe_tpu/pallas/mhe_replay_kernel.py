@@ -352,7 +352,13 @@ def _bezier_node(pts, u):
     )
 
 
-def _make_kernel(kc: KernelConsts, Tc: int, dtype):
+def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
+    """``per_instance=True`` compiles the PER-INSTANCE-VO variant: the VO
+    event metadata (active/tick_pre/tick_now) and the Bezier schedule
+    (times/count) carry a lane axis, and the ingestion block runs fully
+    masked every tick (the in-kernel twin of
+    mhe_lanes._apply_vo_per_instance) instead of pl.when-gated — each lane
+    follows its own camera clock (DecentralEst.cpp:883-945 per instance)."""
     N, s, m, L = kc.N, kc.s, kc.m, kc.L
     H, P = kc.A_meas, kc.P_cam
     dt = kc.dt
@@ -391,9 +397,13 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype):
         ]
         for src, dst in state_pairs:
             dst[...] = src[...]
-        for k in range(4):
-            bez_times_o[k] = bez_times_in[k]
-        bez_count_o[0] = bez_count_in[0]
+        if per_instance:
+            bez_times_o[...] = bez_times_in[...]
+            bez_count_o[...] = bez_count_in[...]
+        else:
+            for k in range(4):
+                bez_times_o[k] = bez_times_in[k]
+            bez_count_o[0] = bez_count_in[0]
 
 
         def tick(i, _):
@@ -401,62 +411,116 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype):
             base_old = jax.lax.rem(t - 1, jnp.asarray(N, t.dtype))
             base_new = jax.lax.rem(t, jnp.asarray(N, t.dtype))
 
-            # ---- VO ingestion (mhe_lanes._apply_vo) --------------------
-            @pl.when(vo_active_ref[i] != 0)
-            def _():
-                tick_pre = vo_tick_pre_ref[i]
+            if per_instance:
+                # ---- per-lane VO ingestion (_apply_vo_per_instance) ----
+                # fully masked — every lane follows its own camera clock;
+                # vo_inc is pre-zeroed on inactive lanes by the host
+                act = vo_active_ref[i] != 0                # (Bt,)
+                tick_pre = vo_tick_pre_ref[i]              # (Bt,) int32
                 tick_now = vo_tick_now_ref[i]
-                inc = vo_inc_ref[i]                       # (3,Bt)
-                p_acc = p_accum_o[:, :] + inc
+                p_acc = p_accum_o[:, :] + vo_inc_ref[i]
                 p_accum_o[:, :] = p_acc
-                # add_way_point (Bezier_simple.cpp:12-27)
-                count = bez_count_o[0]
-                full = count >= 4
-
-                @pl.when(full)
-                def _():
-                    bez_pts_o[0] = bez_pts_o[1]
-                    bez_pts_o[1] = bez_pts_o[2]
-                    bez_pts_o[2] = bez_pts_o[3]
-                    bez_times_o[0] = bez_times_o[1]
-                    bez_times_o[1] = bez_times_o[2]
-                    bez_times_o[2] = bez_times_o[3]
-
+                count = bez_count_o[0]                     # (Bt,) int32
+                full = (count >= 4) & act
+                fm = full[None, :]
+                ps = [bez_pts_o[0], bez_pts_o[1], bez_pts_o[2], bez_pts_o[3]]
+                ts = [bez_times_o[0], bez_times_o[1], bez_times_o[2],
+                      bez_times_o[3]]
+                ps = [jnp.where(fm, ps[1], ps[0]), jnp.where(fm, ps[2], ps[1]),
+                      jnp.where(fm, ps[3], ps[2]), ps[3]]
+                ts = [jnp.where(full, ts[1], ts[0]),
+                      jnp.where(full, ts[2], ts[1]),
+                      jnp.where(full, ts[3], ts[2]), ts[3]]
                 w = jnp.minimum(count, 3)
-                bez_pts_o[w] = p_acc
-                bez_times_o[w] = tick_now.astype(dtype) * dt_c
-                bez_count_o[0] = count + 1
+                tv = tick_now.astype(dtype) * dt_c
+                for k in range(4):
+                    mk = act & (w == k)
+                    ps[k] = jnp.where(mk[None, :], p_acc, ps[k])
+                    ts[k] = jnp.where(mk, tv, ts[k])
+                    bez_pts_o[k] = ps[k]
+                    bez_times_o[k] = ts[k]
+                count_new = jnp.where(act, count + 1, count)
+                bez_count_o[0] = count_new
 
-                # interpolate_increments over the window (masked writes)
-                window_start = t - jnp.minimum(N, t)
+                window_start = t - jnp.minimum(N, t)       # scalar
                 start = jnp.maximum(window_start, tick_pre)
                 num = tick_now - start + 1
-                do_interp = jnp.logical_and(
-                    tick_now > window_start, bez_count_o[0] >= 4
-                )
-                t_int = bez_times_o[3] - bez_times_o[0]
+                do_interp = act & (tick_now > window_start) & (count_new >= 4)
+                t_int = ts[3] - ts[0]
                 t_int = jnp.where(t_int == 0, one, t_int)
-                u0 = (start.astype(dtype) * dt_c - bez_times_o[0]) / t_int
+                u0 = (start.astype(dtype) * dt_c - ts[0]) / t_int
                 du = dt_c / t_int
-                pts = bez_pts_o[:, :, :]
-                node_prev = _bezier_node(pts, u0)
-                for k in range(N):
-                    node_k = _bezier_node(pts, u0 + (k + 1) * du)
-                    slot = start + k - t + N
-                    ok = (
-                        do_interp
-                        & (k <= num - 2)
-                        & (slot >= 0)
-                        & (slot <= N - 2)
+                pts = jnp.stack(ps, axis=0)
+                for l in range(N):                         # logical slot
+                    pj = jax.lax.rem(base_old + l, jnp.asarray(N, t.dtype))
+                    i_b = l + t - N - start                # (Bt,) node index
+                    ok = (do_interp & (i_b >= 0) & (i_b <= num - 2)
+                          & (l <= N - 2))
+                    uf = i_b.astype(dtype)
+                    lo = _bezier_node(pts, u0 + uf * du)
+                    hi = _bezier_node(pts, u0 + (uf + one) * du)
+                    b_cam_o[pj] = jnp.where(ok[None, :], -(hi - lo),
+                                            b_cam_o[pj])
+                    cam_act_o[pj] = jnp.where(
+                        ok, jnp.ones_like(cam_act_o[pj]), cam_act_o[pj])
+            else:
+                # ---- VO ingestion (mhe_lanes._apply_vo) ----------------
+                @pl.when(vo_active_ref[i] != 0)
+                def _():
+                    tick_pre = vo_tick_pre_ref[i]
+                    tick_now = vo_tick_now_ref[i]
+                    inc = vo_inc_ref[i]                       # (3,Bt)
+                    p_acc = p_accum_o[:, :] + inc
+                    p_accum_o[:, :] = p_acc
+                    # add_way_point (Bezier_simple.cpp:12-27)
+                    count = bez_count_o[0]
+                    full = count >= 4
+
+                    @pl.when(full)
+                    def _():
+                        bez_pts_o[0] = bez_pts_o[1]
+                        bez_pts_o[1] = bez_pts_o[2]
+                        bez_pts_o[2] = bez_pts_o[3]
+                        bez_times_o[0] = bez_times_o[1]
+                        bez_times_o[1] = bez_times_o[2]
+                        bez_times_o[2] = bez_times_o[3]
+
+                    w = jnp.minimum(count, 3)
+                    bez_pts_o[w] = p_acc
+                    bez_times_o[w] = tick_now.astype(dtype) * dt_c
+                    bez_count_o[0] = count + 1
+
+                    # interpolate_increments over the window (masked writes)
+                    window_start = t - jnp.minimum(N, t)
+                    start = jnp.maximum(window_start, tick_pre)
+                    num = tick_now - start + 1
+                    do_interp = jnp.logical_and(
+                        tick_now > window_start, bez_count_o[0] >= 4
                     )
+                    t_int = bez_times_o[3] - bez_times_o[0]
+                    t_int = jnp.where(t_int == 0, one, t_int)
+                    u0 = (start.astype(dtype) * dt_c - bez_times_o[0]) / t_int
+                    du = dt_c / t_int
+                    pts = bez_pts_o[:, :, :]
+                    node_prev = _bezier_node(pts, u0)
+                    for k in range(N):
+                        node_k = _bezier_node(pts, u0 + (k + 1) * du)
+                        slot = start + k - t + N
+                        ok = (
+                            do_interp
+                            & (k <= num - 2)
+                            & (slot >= 0)
+                            & (slot <= N - 2)
+                        )
 
-                    @pl.when(ok)
-                    def _(node_k=node_k, node_prev=node_prev, slot=slot):
-                        pj = jax.lax.rem(base_old + slot, jnp.asarray(N, t.dtype))
-                        b_cam_o[pj] = -(node_k - node_prev)
-                        cam_act_o[pj] = jnp.ones_like(cam_act_o[pj])
+                        @pl.when(ok)
+                        def _(node_k=node_k, node_prev=node_prev, slot=slot):
+                            pj = jax.lax.rem(base_old + slot,
+                                             jnp.asarray(N, t.dtype))
+                            b_cam_o[pj] = -(node_k - node_prev)
+                            cam_act_o[pj] = jnp.ones_like(cam_act_o[pj])
 
-                    node_prev = node_k
+                        node_prev = node_k
 
             # ---- marginalization (mhe_lanes._marginalize) --------------
             @pl.when(t >= N)
@@ -618,8 +682,11 @@ def _state_to_arrays(st):
 
 
 def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
-                  tensors, state, interpret=False):
-    """One pallas_call over a chunk of Tc ticks. Returns (x, state')."""
+                  tensors, state, interpret=False, per_instance=False):
+    """One pallas_call over a chunk of Tc ticks. Returns (x, state').
+
+    With ``per_instance`` the vo metadata and Bezier schedule carry the lane
+    axis: vo_meta entries are (Tc,B), bez_scalars are ((4,B), (1,B))."""
     N, s, m, L = kc.N, kc.s, kc.m, kc.L
     dtype = state[0].dtype
     B = state[0].shape[-1]
@@ -645,9 +712,12 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
         (N, m), (N, m, m), (N, s, s), (N, s), (N, s, s), (N, 3),
         (N, 3, 3), (N,), (s, s), (s,), (4, 3), (3,), (3, 3), (3,), (L,),
     ]
+    vo_spec = vspec((Tc,)) if per_instance else sspec()
+    bez_t_spec = vspec((4,)) if per_instance else sspec()
+    bez_c_spec = vspec((1,)) if per_instance else sspec()
     in_specs = (
-        [sspec()] * 4                         # t0, vo meta
-        + [sspec()] * 2                       # bez times/count
+        [sspec()] + [vo_spec] * 3             # t0, vo meta
+        + [bez_t_spec, bez_c_spec]            # bez times/count
         + [vspec((Tc, 3, 3)), vspec((Tc, 3)), vspec((Tc, 3)),
            vspec((Tc, L, 3)), vspec((Tc, L, 3, 3)), vspec((Tc, L, 3)),
            vspec((Tc, L)), vspec((Tc, 3))]
@@ -656,16 +726,21 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     out_specs = (
         [vspec((Tc, s))]
         + [vspec(sh) for sh in state_shapes]
-        + [sspec(), sspec()]
+        + [bez_t_spec, bez_c_spec]
     )
+    if per_instance:
+        bez_out_shape = [jax.ShapeDtypeStruct((4, B), dtype),
+                         jax.ShapeDtypeStruct((1, B), jnp.int32)]
+    else:
+        bez_out_shape = [jax.ShapeDtypeStruct((4,), dtype),
+                         jax.ShapeDtypeStruct((1,), jnp.int32)]
     out_shape = (
         [jax.ShapeDtypeStruct((Tc, s, B), dtype)]
         + [jax.ShapeDtypeStruct(sh + (B,), dtype) for sh in state_shapes]
-        + [jax.ShapeDtypeStruct((4,), dtype),
-           jax.ShapeDtypeStruct((1,), jnp.int32)]
+        + bez_out_shape
     )
 
-    kernel = _make_kernel(kc, Tc, dtype)
+    kernel = _make_kernel(kc, Tc, dtype, per_instance=per_instance)
     # alias the 15 window-state inputs (positions 14..28) onto the matching
     # state outputs (positions 1..15): the state enters/leaves HBM once per
     # chunk with no extra copy; the scalar SMEM carries are copied (tiny)
@@ -702,7 +777,10 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
     Args:
       c: ops.mhe.MHEConsts.
       data_l: estimator.TickData in LANES layout (T, ..., B).
-      vo: estimator.VOData (shared fleet schedule, length T).
+      vo: estimator.VOData — the shared fleet schedule (active (T,), dp_body
+        (T,3) or per-lane (T,3,B) content), or a fully PER-INSTANCE schedule
+        (active (T,B), dp_body (T,3,B), ticks (T,B)) — detected by active's
+        rank, compiling the per-instance kernel variant.
     Returns x_seq (T, s, B) — newest-state estimate per tick (tick 0 is the
     init-window solve, as in estimator.run_mhe_lanes).
     """
@@ -712,30 +790,55 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
     N, s = kc.N, kc.s
     T_total = data_l.accel_b.shape[0]
     B = data_l.accel_b.shape[-1]
+    per_instance = vo.active.ndim == 2
     pad = (-B) % LANE_TILE
     if pad:
         # pad the fleet to a whole lane tile by repeating the last instance
         # (keeps every padded matrix well-conditioned), then slice back
-        data_p = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.repeat(a[..., -1:], pad, axis=-1)], axis=-1),
-            data_l)
-        return replay(c, data_p, vo, dtype=dtype, chunk=chunk,
+        def pad_lane(a):
+            return jnp.concatenate(
+                [a, jnp.repeat(a[..., -1:], pad, axis=-1)], axis=-1)
+
+        data_p = jax.tree.map(pad_lane, data_l)
+        vo_p = vo
+        if per_instance:
+            vo_p = jax.tree.map(pad_lane, vo)
+        elif vo.dp_body.ndim == 3:
+            vo_p = vo._replace(dp_body=pad_lane(vo.dp_body))
+        return replay(c, data_p, vo_p, dtype=dtype, chunk=chunk,
                       interpret=interpret)[..., :B]
 
     d0 = jax.tree.map(lambda a: a[0], data_l)
     st0 = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
-                         d0.J_foot, d0.dq, d0.contact, dtype=dtype)
+                         d0.J_foot, d0.dq, d0.contact, dtype=dtype,
+                         per_instance_vo=per_instance)
     x0 = mhe_lanes.solve_window(c, st0)[N - 1]            # (s,B)
 
-    # precompute VO world-frame increments: R_seq[tick_pre] @ dp  (T,3,B)
-    R_pre = jnp.take(data_l.R_sb, vo.tick_pre, axis=0)    # (T,3,3,B)
-    dp_l = jnp.broadcast_to(vo.dp_body[:, :, None], (T_total, 3, B)).astype(dtype)
-    vo_inc = lanes.mv(R_pre, dp_l) * vo.active[:, None, None].astype(dtype)
+    # precompute VO world-frame increments: R_seq[tick_pre] @ dp  (T,3,B);
+    # dp_body may be shared (T,3) or per-lane (T,3,B) — the Bezier carry and
+    # b_cam writes are per-lane in VMEM either way, so per-instance vision
+    # CONTENT costs nothing extra in-kernel. Per-instance TIMING gathers
+    # R_pre per lane and masks per lane.
+    dp = vo.dp_body.astype(dtype)
+    if per_instance:
+        R_pre = jnp.take_along_axis(
+            data_l.R_sb, vo.tick_pre[:, None, None, :], axis=0)  # (T,3,3,B)
+        act_l = vo.active.astype(dtype)[:, None, :]              # (T,1,B)
+    else:
+        R_pre = jnp.take(data_l.R_sb, vo.tick_pre, axis=0)       # (T,3,3,B)
+        act_l = vo.active.astype(dtype)[:, None, None]
+    dp_l = jnp.broadcast_to(
+        dp[:, :, None] if dp.ndim == 2 else dp, (T_total, 3, B))
+    vo_inc = lanes.mv(R_pre, dp_l) * act_l
 
     state = _state_to_arrays(st0)
-    bez_scalars = (st0.bez.times.astype(dtype),
-                   jnp.reshape(st0.bez.count, (1,)).astype(jnp.int32))
+    if per_instance:
+        # per-instance Bezier schedule: times (B,4) -> (4,B), count (B,)->(1,B)
+        bez_scalars = (jnp.moveaxis(st0.bez.times, 0, -1).astype(dtype),
+                       st0.bez.count[None].astype(jnp.int32))
+    else:
+        bez_scalars = (st0.bez.times.astype(dtype),
+                       jnp.reshape(st0.bez.count, (1,)).astype(jnp.int32))
 
     xs = [x0[None]]
     t = 1
@@ -750,7 +853,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         vo_meta = (vo.active[sl], vo.tick_pre[sl], vo.tick_now[sl])
         x, state, bez_scalars = _replay_chunk(
             kc, Tc, t, vo_meta, bez_scalars, tensors, state,
-            interpret=interpret,
+            interpret=interpret, per_instance=per_instance,
         )
         xs.append(x)
         t += Tc

@@ -40,23 +40,67 @@ def perturb_log_batch(data: estimator.TickData, B: int, key, noise_scale=1.0,
 
 
 def perturb_ekf_blocks(eb: estimator.EKFBlocks, B: int, key, noise_scale=1.0,
-                       dtype=jnp.float32) -> estimator.EKFBlocks:
+                       dtype=jnp.float32,
+                       vo_noise_scale=0.0) -> estimator.EKFBlocks:
     """Tile one log's EKF-rate blocks into a B-instance lanes-layout fleet
-    with fresh gyro/accel noise draws (the EKF half of perturb_log_batch);
-    vo/valid metadata stay shared (one camera log, one clock)."""
-    kg, ka = jax.random.split(key)
+    with fresh gyro/accel noise draws (the EKF half of perturb_log_batch).
+
+    ``vo_noise_scale`` > 0 additionally perturbs the VISION content per lane:
+    the measured VO quaternion becomes per-lane (T,S,4,B) with a fresh small-
+    rotation draw per instance (renormalized), so the Monte-Carlo fleet
+    perturbs the full sensor suite (orien_ekf.cpp:144-154 measurement).
+    Event timing (valid/vo_active/steps_back) stays the fleet's shared camera
+    clock — one camera log drives every instance."""
+    kg, ka, kq = jax.random.split(key, 3)
     T, S = eb.gyro.shape[:2]
 
     def tile_lanes(a):
         return jnp.broadcast_to(a.astype(dtype)[..., None], a.shape + (B,))
+
+    vo_q = eb.vo_q.astype(dtype)
+    if vo_noise_scale > 0.0:
+        q_l = tile_lanes(vo_q)                          # (T,S,4,B)
+        q_l = q_l + (
+            vo_noise_scale * 0.005
+            * jax.random.normal(kq, (T, S, 4, B), dtype)
+            * eb.vo_active.astype(dtype)[..., None, None]
+        )
+        nrm = jnp.sqrt(jnp.sum(q_l * q_l, axis=-2, keepdims=True))
+        vo_q = jnp.where(nrm > 0, q_l / jnp.maximum(nrm, 1e-20), q_l)
 
     return eb._replace(
         gyro=tile_lanes(eb.gyro)
         + noise_scale * 0.005 * jax.random.normal(kg, (T, S, 3, B), dtype),
         accel=tile_lanes(eb.accel)
         + noise_scale * 0.02 * jax.random.normal(ka, (T, S, 3, B), dtype),
-        vo_q=eb.vo_q.astype(dtype),
+        vo_q=vo_q,
     )
+
+
+def perturb_vo_batch(vo: estimator.VOData, B: int, key, noise_scale=1.0,
+                     dtype=jnp.float32,
+                     per_instance_timing=False) -> estimator.VOData:
+    """Per-lane VO content noise for the MHE stage (the vision half of the
+    Monte-Carlo story, DecentralEst.cpp:883-945 relative-translation
+    measurements): dp_body becomes (T,3,B) with fresh per-instance draws on
+    active events. With ``per_instance_timing`` the active/tick metadata are
+    also broadcast per lane ((T,B)) for the fully per-instance scan path
+    (mhe_lanes.step_per_instance_vo); otherwise timing stays the shared
+    camera clock, which both the lanes scan and the mega-kernel consume."""
+    T = vo.dp_body.shape[0]
+    dp = jnp.broadcast_to(vo.dp_body.astype(dtype)[:, :, None], (T, 3, B))
+    dp = dp + (
+        noise_scale * 0.002 * jax.random.normal(key, (T, 3, B), dtype)
+        * vo.active.astype(dtype)[:, None, None]
+    )
+    if per_instance_timing:
+        return estimator.VOData(
+            active=jnp.broadcast_to(vo.active[:, None], (T, B)),
+            dp_body=dp,
+            tick_pre=jnp.broadcast_to(vo.tick_pre[:, None], (T, B)),
+            tick_now=jnp.broadcast_to(vo.tick_now[:, None], (T, B)),
+        )
+    return vo._replace(dp_body=dp)
 
 
 def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
@@ -181,7 +225,8 @@ def tickdata_to_lanes(data_tb: estimator.TickData) -> estimator.TickData:
 def make_lanes_fleet_runner(params: EstimatorParams, dtype=jnp.float32,
                             use_pallas=True, use_megakernel=False,
                             megakernel_chunk=64,
-                            lever_arm=kf_ops.DEFAULT_LEVER_ARM):
+                            lever_arm=kf_ops.DEFAULT_LEVER_ARM,
+                            consts=None):
     """The fastest fleet path: f(TickData[T,B,...], VOData) -> (x[T,B,s],
     v[T,B,3]) with the whole MHE state and assembly in instance-on-lanes
     layout (ops/mhe_lanes.py) and the window solve in the Pallas kernel,
@@ -196,7 +241,8 @@ def make_lanes_fleet_runner(params: EstimatorParams, dtype=jnp.float32,
     """
     from decentralized_ekf_mhe_tpu.ops import lanes, mhe as mhe_lib
 
-    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    c = consts if consts is not None else mhe_lib.make_consts(
+        params, dtype, use_pallas=use_pallas)
 
     if use_megakernel:
         from decentralized_ekf_mhe_tpu.pallas import mhe_replay_kernel as mrk

@@ -172,6 +172,82 @@ class TestMHELanesEquivalence:
         np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_ref),
                                    rtol=1e-7, atol=1e-8)
 
+    @pytest.mark.parametrize("adaptive", [True, False])
+    def test_constrained_lanes_matches_standard(self, adaptive):
+        """Fleet-scale constrained path: the lanes OSQP-semantics ADMM
+        (admm.solve_box_tridiag_lanes) reproduces the standard-layout solver
+        tick-for-tick at float64, warm starts included, with the velocity box
+        genuinely active."""
+        p = _params(N=6)
+        T, B = 16, 3
+        log = synth.generate(synth.SynthConfig(T=T, seed=11))
+        data = estimator.tickdata_from_log(log, dtype=DT)
+        vo = estimator.vodata_from_log(log, dtype=DT)
+        key = jax.random.PRNGKey(4)
+        data_b = batch_lib.to_time_leading(
+            batch_lib.perturb_log_batch(data, B, key, dtype=DT))
+
+        s = p.dim_state
+        x_lb = np.full(s, -np.inf); x_lb[3:6] = -0.05
+        x_ub = np.full(s, np.inf); x_ub[3:6] = 0.05
+        p.osqp.adapt_rho = adaptive
+        c_con = mhe.make_consts(p, DT, x_lb=x_lb, x_ub=x_ub, admm_iters=60)
+
+        x_ref, v_ref = estimator.run_mhe(p, data_b, vo=vo, dtype=DT,
+                                         consts=c_con)
+        x_l, v_l = estimator.run_mhe_lanes(
+            p, batch_lib.tickdata_to_lanes(data_b), vo=vo, dtype=DT,
+            consts=c_con)
+        np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_ref),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v_l), np.asarray(v_ref),
+                                   rtol=1e-7, atol=1e-9)
+        # the box must actually bind on this log (otherwise the test would
+        # pass vacuously through the unconstrained algebra)
+        vmax = np.abs(np.asarray(x_l[..., 3:6])).max()
+        assert vmax >= 0.05 - 1e-6
+        assert vmax <= 0.05 + 1e-3
+
+    def test_constrained_solver_direct_equivalence(self):
+        """solve_box_tridiag_lanes == solve_box_tridiag on a random SPD
+        block-tridiagonal box QP (fresh + warm-started), f64."""
+        from decentralized_ekf_mhe_tpu.ops import admm
+
+        rng = np.random.default_rng(8)
+        K, s, B = 5, 4, 6
+        D = rng.standard_normal((K, B, s, s))
+        D = D @ np.swapaxes(D, -1, -2) + 4 * np.eye(s)
+        U = 0.1 * rng.standard_normal((K - 1, B, s, s))
+        r = rng.standard_normal((K, B, s))
+        lb = np.full(s, -0.3); lb[0] = -np.inf
+        ub = np.full(s, 0.3); ub[-1] = np.inf
+        st = admm.ADMMSettings(rho=0.5, sigma=1e-6, alpha=1.6, iters=50,
+                               abs_tol=1e-8, rel_tol=1e-8)
+        z0 = 0.1 * rng.standard_normal((K, B, s))
+        y0 = 0.1 * rng.standard_normal((K, B, s))
+        res_std = admm.solve_box_tridiag(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(r),
+            jnp.asarray(lb), jnp.asarray(ub), st,
+            z0=jnp.asarray(z0), y0=jnp.asarray(y0))
+        res_l = admm.solve_box_tridiag_lanes(
+            jnp.asarray(np.moveaxis(D, 1, -1)),
+            jnp.asarray(np.moveaxis(U, 1, -1)),
+            jnp.asarray(np.moveaxis(r, 1, -1)),
+            jnp.asarray(lb), jnp.asarray(ub), st,
+            z0=jnp.asarray(np.moveaxis(z0, 1, -1)),
+            y0=jnp.asarray(np.moveaxis(y0, 1, -1)))
+        np.testing.assert_allclose(np.moveaxis(np.asarray(res_l.x), -1, 1),
+                                   np.asarray(res_std.x), rtol=1e-9,
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(res_l.z), -1, 1),
+                                   np.asarray(res_std.z), rtol=1e-9,
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(res_l.iters),
+                                   np.asarray(res_std.iters))
+        # against the dense oracle: KKT residual of the polished solution
+        x = np.moveaxis(np.asarray(res_l.x), -1, 1)
+        assert np.all(x >= lb - 1e-6) and np.all(x <= ub + 1e-6)
+
     def test_state_converter_roundtrip(self):
         p = _params(N=4)
         log = synth.generate(synth.SynthConfig(T=5, seed=5))
