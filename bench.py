@@ -39,9 +39,10 @@ T = 200
 SKIP = 100  # RMSE warmup skip (ticks)
 
 
-def _f64_oracle(tmpdir):
+def _f64_oracle(tmpdir, T_o=None, seed=0):
     """Run the float64 CPU oracle in a subprocess (x64 is process-global and
     the TPU path is f32-only); returns (x_seq (T,s), gt_v (T,3))."""
+    T_o = T if T_o is None else T_o
     out = os.path.join(tmpdir, "oracle.npz")
     code = f"""
 import jax
@@ -51,7 +52,7 @@ import numpy as np
 from decentralized_ekf_mhe_tpu.io import synth
 from decentralized_ekf_mhe_tpu.ops import estimator
 from bench import _params, _ekf_params
-log = synth.generate(synth.SynthConfig(T={T}, seed=0))
+log = synth.generate(synth.SynthConfig(T={T_o}, seed={seed}))
 R_seq, _ = estimator.ekf_orientation_sequence(_ekf_params(), log)
 data = estimator.tickdata_from_log(log, R_sb=np.asarray(R_seq))
 vo = estimator.vodata_from_log(log)
@@ -113,9 +114,15 @@ def main():
     data_b = batch_lib.to_time_leading(
         batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
     )
+    # the benched fleet perturbs the FULL sensor suite per instance:
+    # IMU/encoders (perturb_log_batch) AND vision — per-lane VO quaternion
+    # draws into the EKF (vo_noise_scale) and per-lane relative-translation
+    # draws into the MHE (perturb_vo_batch), one shared camera clock
     eb = batch_lib.perturb_ekf_blocks(
         estimator.ekfblocks_from_log(log, dtype=dtype), B,
-        jax.random.PRNGKey(1), dtype=dtype)
+        jax.random.PRNGKey(1), dtype=dtype, vo_noise_scale=1.0)
+    vo_b = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(2),
+                                      dtype=dtype)
 
     def sync(val):
         # block_until_ready returns before execution completes on the axon
@@ -145,7 +152,7 @@ def main():
     # ---- headline: full EKF+MHE pipeline fleet --------------------------
     pipe = jax.jit(batch_lib.make_pipeline_fleet_runner(
         params, ekf_params, dtype, use_pallas=on_tpu))
-    c_pipe, w_pipe, (x_p, v_p, _q) = timed(pipe, data_b, eb, vo,
+    c_pipe, w_pipe, (x_p, v_p, _q) = timed(pipe, data_b, eb, vo_b,
                                            jitter=jit_data)
     ticks = B * (T - 1)
     rate_pipe = ticks / w_pipe
@@ -165,7 +172,7 @@ def main():
     # ---- MHE-only A/B: scanned lanes vs mega-kernel ---------------------
     scan = jax.jit(batch_lib.make_lanes_fleet_runner(params, dtype,
                                                      use_pallas=on_tpu))
-    c_scan, w_scan, _ = timed(scan, data_b, vo, jitter=jit_data)
+    c_scan, w_scan, _ = timed(scan, data_b, vo_b, jitter=jit_data)
     rate_scan = ticks / w_scan
     extras["compile_s_mhe_scan"] = round(c_scan, 1)
     extras["mhe_only_scan_solves_per_s"] = round(rate_scan, 0)
@@ -178,7 +185,7 @@ def main():
     try:
         if not on_tpu:
             raise RuntimeError("mega-kernel requires the TPU backend")
-        c_mk, w_mk, _ = timed(mega, data_b, vo, jitter=jit_data)
+        c_mk, w_mk, _ = timed(mega, data_b, vo_b, jitter=jit_data)
         rate_mk = ticks / w_mk
         extras["compile_s_megakernel"] = round(c_mk, 1)
         extras["mhe_only_megakernel_solves_per_s"] = round(rate_mk, 0)
@@ -198,7 +205,7 @@ def main():
     try:
         if not on_tpu:
             raise RuntimeError("mega-kernel requires the TPU backend")
-        c_pmk, w_pmk, (x_pmk, _, _) = timed(pipe_mk, data_b, eb, vo,
+        c_pmk, w_pmk, (x_pmk, _, _) = timed(pipe_mk, data_b, eb, vo_b,
                                             jitter=jit_data)
         rate_pipe_mk = ticks / w_pmk
         extras["compile_s_pipeline_megakernel"] = round(c_pmk, 1)
@@ -247,6 +254,45 @@ def main():
     assert vmax <= vbound + 1e-3, "box constraint violated"
     assert vmax >= vbound - 1e-2, "box constraint never active"
 
+    # ---- non-Go1 shape classes on hardware (VERDICT r03 #4): Cassie
+    # (leg_odom_type=1, num_legs=2 => s=15 position-form measurements,
+    # DecentralEst.cpp:101-118,550-563) and PogoX (single-leg hopper, L=1)
+    # through both the scanned lanes path and the mega-kernel.
+    for rname, n_legs, lot in (("cassie_s15", 2, 1), ("pogox_L1", 1, 0)):
+        rp = _params()
+        rp.num_legs = n_legs
+        rp.leg_odom_type = lot
+        log_r = synth.generate(synth.SynthConfig(T=T, seed=2,
+                                                 num_legs=n_legs))
+        data_r = estimator.tickdata_from_log(log_r, dtype=dtype)
+        vo_r = estimator.vodata_from_log(log_r, dtype=dtype)
+        data_rb = batch_lib.to_time_leading(
+            batch_lib.perturb_log_batch(data_r, B, key, dtype=dtype))
+        for pname, kw in (("scan", dict(use_pallas=on_tpu)),
+                          ("megakernel", dict(use_megakernel=True))):
+            if "use_megakernel" in kw and not on_tpu:
+                continue
+            try:
+                rfn = jax.jit(batch_lib.make_lanes_fleet_runner(
+                    rp, dtype, **kw))
+                c_r, w_r, (x_r, _) = timed(rfn, data_rb, vo_r,
+                                           jitter=jit_data)
+                rate_r = B * (T - 1) / w_r
+                v_r = np.asarray(x_r[..., 3:6]).astype(np.float64)
+                assert np.isfinite(v_r).all(), "non-finite estimates"
+                rmse_r = float(np.sqrt(
+                    ((v_r[SKIP:] - log_r.gt_v_s[SKIP:, None]) ** 2).mean()))
+                extras[f"{rname}_{pname}_solves_per_s"] = round(rate_r, 0)
+                extras[f"{rname}_{pname}_rmse"] = round(rmse_r, 5)
+                print(f"{rname} {pname}: compile {c_r:.1f}s, B={B}: "
+                      f"{rate_r:,.0f} solves/s, RMSE {rmse_r:.4f}",
+                      file=sys.stderr)
+                assert rmse_r < 0.5, f"{rname} accuracy blowup: {rmse_r}"
+            except Exception as e:
+                print(f"{rname} {pname} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                extras[f"{rname}_{pname}_solves_per_s"] = None
+
     # ---- f32 accuracy gate vs the CPU float64 oracle --------------------
     with tempfile.TemporaryDirectory() as td:
         x64, gt_v = _f64_oracle(td)
@@ -276,6 +322,89 @@ def main():
           f"(delta {delta:.2e} < 1e-3 gate), max state dev {dev_max:.4f}",
           file=sys.stderr)
     assert delta < 1e-3, f"f32 accuracy gate failed: delta {delta}"
+
+    # ---- long-log f32 soak: recursive-arrival-cost drift at deployment
+    # durations (VERDICT r03 #2). T>=20k ticks = 100+ s of robot time through
+    # the full staged pipeline (scan and mega-kernel MHE stage), vs the f64
+    # CPU oracle; the 1e-3 RMSE gate is asserted on the END of the log, and
+    # the drift curve is printed per block.
+    T_SOAK = int(os.environ.get("BENCH_SOAK_T", "20000"))
+    if T_SOAK:
+        log_s = synth.generate(synth.SynthConfig(T=T_SOAK, seed=1))
+        data_s = estimator.tickdata_from_log(log_s, dtype=dtype)
+        vo_s = estimator.vodata_from_log(log_s, dtype=dtype)
+        eb_s = estimator.ekfblocks_from_log(log_s, dtype=dtype)
+        Bs = 8
+
+        def make_soak(use_mk):
+            runner = batch_lib.make_pipeline_fleet_runner(
+                params, ekf_params, dtype, use_pallas=on_tpu,
+                use_megakernel=use_mk,
+                megakernel_chunk=int(os.environ.get("BENCH_MK_CHUNK", "64")))
+
+            def f(d, e, v):
+                # tile to a small identical fleet INSIDE the jit so only the
+                # base log crosses the tunnel (the broadcast materializes in
+                # HBM, not on the wire)
+                db = jax.tree.map(
+                    lambda a: jnp.broadcast_to(
+                        a[:, None], (a.shape[0], Bs) + a.shape[1:]), d)
+                el = e._replace(
+                    gyro=jnp.broadcast_to(e.gyro[..., None],
+                                          e.gyro.shape + (Bs,)),
+                    accel=jnp.broadcast_to(e.accel[..., None],
+                                           e.accel.shape + (Bs,)))
+                return runner(db, el, v)[0]
+
+            return jax.jit(f)
+
+        x32_soak = {}
+        for name, use_mk in (("scan", False), ("megakernel", True)):
+            if use_mk and not on_tpu:
+                continue
+            try:
+                f = make_soak(use_mk)
+                t0 = time.time()
+                xs_ = f(data_s, eb_s, vo_s)
+                sync(xs_)
+                c_s = time.time() - t0
+                t0 = time.time()
+                xs_ = f(data_s._replace(accel_b=data_s.accel_b + 1e-7),
+                        eb_s, vo_s)
+                sync(xs_)
+                w_s = time.time() - t0
+                x32_soak[name] = np.asarray(xs_[:, 0]).astype(np.float64)
+                extras[f"soak_compile_s_{name}"] = round(c_s, 1)
+                print(f"soak {name}: T={T_SOAK} compile+first {c_s:.1f}s, "
+                      f"wall {w_s:.1f}s ({Bs * (T_SOAK - 1) / w_s:,.0f} "
+                      f"ticks/s at B={Bs})", file=sys.stderr)
+            except Exception as e:
+                print(f"soak {name} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+        with tempfile.TemporaryDirectory() as td:
+            x64_s, gt_v_s = _f64_oracle(td, T_o=T_SOAK, seed=1)
+        tail = int(T_SOAK * 0.9)          # END-of-log window (last 10%)
+        blk = max(1, T_SOAK // 10)
+        for name, x32s in x32_soak.items():
+            dev = np.abs(x32s - x64_s)
+            curve = [float(dev[b:b + blk].max())
+                     for b in range(0, T_SOAK, blk)]
+            r32s = float(np.sqrt(
+                ((x32s[tail:, 3:6] - gt_v_s[tail:]) ** 2).mean()))
+            r64s = float(np.sqrt(
+                ((x64_s[tail:, 3:6] - gt_v_s[tail:]) ** 2).mean()))
+            delta_s = abs(r32s - r64s)
+            extras[f"soak_rmse_delta_end_{name}"] = round(delta_s, 6)
+            extras[f"soak_max_dev_end_{name}"] = round(
+                float(dev[tail:].max()), 5)
+            print(f"soak {name}: drift curve (max|x32-x64| per {blk}-tick "
+                  f"block): {[round(c, 4) for c in curve]}", file=sys.stderr)
+            print(f"soak {name}: END-window RMSE f32 {r32s:.5f} vs f64 "
+                  f"{r64s:.5f} (delta {delta_s:.2e} < 1e-3 gate), max state "
+                  f"dev {float(dev[tail:].max()):.4f}", file=sys.stderr)
+            assert delta_s < 1e-3, f"soak f32 gate failed ({name}): {delta_s}"
+        extras["soak_T"] = T_SOAK
 
     # ---- honest latency: B=1 on-device per-tick + per-dispatch p50/p99 --
     dataL = batch_lib.to_time_leading(

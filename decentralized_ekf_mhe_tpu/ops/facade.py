@@ -48,6 +48,7 @@ class DecentralizedEstimator:
         self.x = None
         self.v_body = None
         self._mhe_step_jit = None
+        self._block_jit = {}          # K -> jitted K-tick scan
 
     # -- DecentralizedEstimation::initialize (DecentralEst.cpp:9-150) ------
     def initialize(self, R_sb, accel_b, omega_b, p_foot, J_foot, dq, contact):
@@ -83,8 +84,11 @@ class DecentralizedEstimator:
 
         if self.est_type == 0:
             if self._mhe_step_jit is None:
+                # donate the carry: the previous window state's device buffers
+                # are reused in place instead of allocating per tick
                 self._mhe_step_jit = jax.jit(
-                    lambda st, *a_, : mhe.step(self._c, st, *a_)
+                    lambda st, *a_, : mhe.step(self._c, st, *a_),
+                    donate_argnums=0,
                 )
             vo_dp = a(vo_dp) if vo_dp is not None else jnp.zeros(3, self.dtype)
             if vo_active and self.T - int(vo_tick_pre) >= len(self._R_hist):
@@ -120,6 +124,76 @@ class DecentralizedEstimator:
         self.v_body = kf.body_velocity(self.x, args[0], args[2], self._lever)
         self.T += 1
         return self.x
+
+    # -- block update: K ticks in ONE device dispatch ----------------------
+    def update_block(self, R_sb, accel_b, omega_b, p_foot, J_foot, dq,
+                     contact, vo_active=None, vo_dp=None, vo_tick_pre=None,
+                     vo_tick_now=None):
+        """Process K aligned ticks in one dispatch — the HIL hot path.
+
+        All tensor args carry a leading K axis (R_sb (K,3,3), accel_b (K,3),
+        …, vo_active (K,) bool, vo_dp (K,3), vo_tick_pre/now (K,) absolute
+        tick indices). Internally a jitted ``lax.scan`` of ``mhe.step`` with
+        the carry DONATED, so per-call Python/dispatch overhead (the p99
+        killer of tick-at-a-time use over remote transports) is amortized
+        K-fold. Semantics are exactly K calls of update() (MHE path only).
+
+        Returns (x (K,s), v_body (K,3)); advances T by K.
+        """
+        if self._state is None:
+            raise RuntimeError("call initialize() before update_block()")
+        if self.est_type != 0:
+            raise NotImplementedError("update_block is MHE-only (est_type=0)")
+        a = lambda v: jnp.asarray(v, self.dtype)
+        R_np = np.asarray(R_sb)
+        K = R_np.shape[0]
+        H = len(self._R_hist)
+        for k in range(K):
+            self._R_hist[(self.T + k) % H] = R_np[k]
+        va = (np.zeros(K, bool) if vo_active is None
+              else np.asarray(vo_active, bool))
+        vdp = (np.zeros((K, 3)) if vo_dp is None else np.asarray(vo_dp))
+        vtp = (np.zeros(K, np.int64) if vo_tick_pre is None
+               else np.asarray(vo_tick_pre, np.int64))
+        vtn = (np.zeros(K, np.int64) if vo_tick_now is None
+               else np.asarray(vo_tick_now, np.int64))
+        ticks = self.T + np.arange(K)
+        if bool((va & (ticks - vtp >= H)).any()):
+            raise ValueError(
+                f"a VO previous frame predates the {H}-tick orientation "
+                f"history; raise history_ticks")
+        R_pre = self._R_hist[vtp % H]
+
+        if K not in self._block_jit:
+            c = self._c
+            lever = self._lever
+
+            def block_step(st, R, ab, ob, pf, Jf, dqv, ct, vav, vdpv, vtpv,
+                           vtnv, Rpre):
+                def scan_step(st_, inp):
+                    (R_, ab_, ob_, pf_, Jf_, dq_, ct_, va_, vdp_, vtp_,
+                     vtn_, Rp_) = inp
+                    st_, (x_T, _) = mhe.step(
+                        c, st_, R_, ab_, ob_, pf_, Jf_, dq_, ct_, va_,
+                        vdp_, vtp_, vtn_, Rp_)
+                    v_b = kf.body_velocity(x_T, R_, ob_, lever)
+                    return st_, (x_T, v_b)
+
+                return jax.lax.scan(
+                    scan_step, st,
+                    (R, ab, ob, pf, Jf, dqv, ct, vav, vdpv, vtpv, vtnv, Rpre))
+
+            self._block_jit[K] = jax.jit(block_step, donate_argnums=0)
+
+        self._state, (x_seq, v_seq) = self._block_jit[K](
+            self._state, a(R_sb), a(accel_b), a(omega_b), a(p_foot),
+            a(J_foot), a(dq), a(contact), jnp.asarray(va),
+            a(vdp), jnp.asarray(vtp, jnp.int32), jnp.asarray(vtn, jnp.int32),
+            a(R_pre))
+        self.x = x_seq[-1]
+        self.v_body = v_seq[-1]
+        self.T += K
+        return x_seq, v_seq
 
     # -- DecentralizedEstimation::reset -> MHEproblem::resetQP -------------
     def reset(self):

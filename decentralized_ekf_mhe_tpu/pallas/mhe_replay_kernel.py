@@ -840,17 +840,48 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         bez_scalars = (st0.bez.times.astype(dtype),
                        jnp.reshape(st0.bez.count, (1,)).astype(jnp.int32))
 
-    xs = [x0[None]]
-    t = 1
-    while t < T_total:
-        Tc = min(chunk, T_total - t)
-        sl = slice(t, t + Tc)
+    def slice_inputs(sl):
         tensors = (
             data_l.R_sb[sl], data_l.accel_b[sl], data_l.omega_b[sl],
             data_l.p_foot[sl], data_l.dq[sl], data_l.J_foot[sl],
             data_l.contact[sl], vo_inc[sl],
         )
         vo_meta = (vo.active[sl], vo.tick_pre[sl], vo.tick_now[sl])
+        return tensors, vo_meta
+
+    xs = [x0[None]]
+    t = 1
+    # whole chunks ride ONE lax.scan over a (n_full, chunk, ...) reshape —
+    # a single pallas_call in the graph regardless of log length (an
+    # unrolled host loop of T/chunk calls made T=20k soak logs uncompilable)
+    n_full = (T_total - 1) // chunk
+    if n_full > 1:
+        sl = slice(1, 1 + n_full * chunk)
+        tensors, vo_meta = slice_inputs(sl)
+
+        def chunked(a):
+            return a.reshape((n_full, chunk) + a.shape[1:])
+
+        tensors_c = jax.tree.map(chunked, tensors)
+        vo_meta_c = jax.tree.map(chunked, vo_meta)
+        t0s = 1 + chunk * jnp.arange(n_full, dtype=jnp.int32)
+
+        def chunk_step(carry, inp):
+            state, bez_scalars = carry
+            t0, vm, tn = inp
+            x, state, bez_scalars = _replay_chunk(
+                kc, chunk, t0, vm, bez_scalars, tn, state,
+                interpret=interpret, per_instance=per_instance,
+            )
+            return (state, bez_scalars), x
+
+        (state, bez_scalars), x_scan = jax.lax.scan(
+            chunk_step, (state, bez_scalars), (t0s, vo_meta_c, tensors_c))
+        xs.append(x_scan.reshape((n_full * chunk,) + x_scan.shape[2:]))
+        t = 1 + n_full * chunk
+    while t < T_total:
+        Tc = min(chunk, T_total - t)
+        tensors, vo_meta = slice_inputs(slice(t, t + Tc))
         x, state, bez_scalars = _replay_chunk(
             kc, Tc, t, vo_meta, bez_scalars, tensors, state,
             interpret=interpret, per_instance=per_instance,

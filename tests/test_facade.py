@@ -111,3 +111,38 @@ def test_example_run_robot():
     run_example("run_robot.py", "--robot", "pogox", "--ticks", "80",
                 "--v-limit", "0.6", "--cpu")
     run_example("run_robot.py", "--robot", "cassie", "--ticks", "80", "--cpu")
+
+
+def test_facade_update_block_matches_per_tick():
+    """update_block (one jitted K-tick dispatch, donated carry) == K calls
+    of update(), VO events included, at float64."""
+    p = _params(0)
+    T = 25
+    log = synth.generate(synth.SynthConfig(T=T, seed=6))
+
+    est1 = DecentralizedEstimator(p, dtype=jnp.float64)
+    est1.initialize(*_tick_args(log, 0))
+    xs = []
+    for k in range(1, T):
+        est1.update(*_tick_args(log, k), vo_active=bool(log.vo_active[k]),
+                    vo_dp=log.vo_dp_body[k],
+                    vo_tick_pre=int(log.vo_tick_pre[k]),
+                    vo_tick_now=int(log.vo_tick_now[k]))
+        xs.append(np.asarray(est1.x))
+    xs = np.stack(xs)
+
+    est2 = DecentralizedEstimator(p, dtype=jnp.float64)
+    est2.initialize(*_tick_args(log, 0))
+    # two uneven blocks exercise the per-K jit cache and the carry handoff
+    splits = [(1, 10), (10, T)]
+    outs = []
+    for lo, hi in splits:
+        sl = slice(lo, hi)
+        x_blk, v_blk = est2.update_block(
+            log.R_sb_gt[sl], log.accel_b[sl], log.omega_b[sl],
+            log.p_foot[sl], log.J_foot[sl], log.dq[sl], log.contact[sl],
+            vo_active=log.vo_active[sl], vo_dp=log.vo_dp_body[sl],
+            vo_tick_pre=log.vo_tick_pre[sl], vo_tick_now=log.vo_tick_now[sl])
+        outs.append(np.asarray(x_blk))
+    np.testing.assert_allclose(np.concatenate(outs), xs, atol=1e-9)
+    assert est2.T == est1.T
