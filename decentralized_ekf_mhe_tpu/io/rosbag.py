@@ -48,11 +48,16 @@ class CDRReader:
     encapsulation header, natural alignment relative to the payload start)."""
 
     def __init__(self, buf: bytes):
-        # encapsulation: {representation id (2B), options (2B)}; 0x0001 = CDR_LE
+        # encapsulation: {representation id (2B), options (2B)}. The id is
+        # a BYTE PAIR on the wire (RTPS spec): {0x00,0x01} = CDR_LE,
+        # {0x00,0x00} = CDR_BE, {0x00,0x03}/{0x00,0x02} = PL_CDR_LE/BE.
+        # (An earlier revision unpacked it as a little-endian u16 and
+        # compared against 0x0001 — self-consistent with this module's own
+        # writer but flipping REAL ROS2 bags to big-endian; caught by the
+        # hand-authored golden fixtures in tests/test_rosbag.py.)
         if len(buf) < 4:
             raise ValueError("CDR payload too short")
-        rep = struct.unpack_from("<H", buf, 0)[0]
-        self.little = rep in (0x0001, 0x0003)  # CDR_LE / PL_CDR_LE
+        self.little = buf[0] == 0x00 and buf[1] in (0x01, 0x03)
         self.buf = buf
         self.off = 4
 
@@ -175,12 +180,33 @@ def parse_mocap(buf: bytes):
 
 def read_messages(bag_path: str) -> Dict[str, List[tuple]]:
     """Read a rosbag2 directory (or .db3 file); returns
-    {topic_name: [(bag_timestamp_ns, raw_cdr_bytes), ...]} sorted by time."""
+    {topic_name: [(bag_timestamp_ns, raw_cdr_bytes), ...]} sorted by time.
+
+    A directory with a ``metadata.yaml`` (the rosbag2 layout) is read via its
+    ``relative_file_paths`` — the authoritative split-file ordering; without
+    one, all ``*.db3`` files are taken in name order."""
     if os.path.isdir(bag_path):
-        db3s = sorted(f for f in os.listdir(bag_path) if f.endswith(".db3"))
-        if not db3s:
-            raise FileNotFoundError(f"no .db3 files under {bag_path}")
-        paths = [os.path.join(bag_path, f) for f in db3s]
+        meta = os.path.join(bag_path, "metadata.yaml")
+        paths = None
+        if os.path.exists(meta):
+            import yaml
+
+            with open(meta) as f:
+                info = yaml.safe_load(f) or {}
+            rel = (info.get("rosbag2_bagfile_information") or {}).get(
+                "relative_file_paths") or []
+            if rel:
+                paths = [os.path.join(bag_path, p) for p in rel]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"metadata.yaml names missing bag files: {missing}")
+        if paths is None:
+            db3s = sorted(f for f in os.listdir(bag_path)
+                          if f.endswith(".db3"))
+            if not db3s:
+                raise FileNotFoundError(f"no .db3 files under {bag_path}")
+            paths = [os.path.join(bag_path, f) for f in db3s]
     else:
         paths = [bag_path]
 
@@ -310,7 +336,8 @@ def quantize_rawlog(raw: RawLog) -> RawLog:
 
 class CDRWriter:
     def __init__(self):
-        self.parts = [struct.pack("<HH", 0x0001, 0)]
+        # CDR_LE encapsulation: the wire bytes are {0x00, 0x01, 0x00, 0x00}
+        self.parts = [b"\x00\x01\x00\x00"]
         self.off = 0
 
     def _align(self, n: int):
@@ -422,34 +449,49 @@ def _ser_mocap(t, p, v, q_wxyz):
     return w.bytes()
 
 
-def write_rosbag(bag_dir: str, rawlog: RawLog, topics: Optional[dict] = None):
-    """Write a RawLog back out as a rosbag2-layout .db3 (test fixture +
-    interchange with reference tooling)."""
+def write_rosbag(bag_dir: str, rawlog: RawLog, topics: Optional[dict] = None,
+                 max_messages_per_file: Optional[int] = None):
+    """Write a RawLog back out as a rosbag2-layout directory: one or more
+    ``data_<i>.db3`` files plus a ``metadata.yaml`` (the layout `ros2 bag
+    record --max-bag-size` produces; test fixture + interchange with
+    reference tooling).
+
+    ``max_messages_per_file`` splits the stream across multiple .db3 files
+    in time order (every file carries the full topics table, as rosbag2
+    does); default is one file. Returns the first .db3 path."""
     tp = dict(DEFAULT_TOPICS)
     if topics:
         tp.update(topics)
     os.makedirs(bag_dir, exist_ok=True)
-    db = os.path.join(bag_dir, "data_0.db3")
-    con = sqlite3.connect(db)
-    try:
-        con.execute("""CREATE TABLE topics (
-            id INTEGER PRIMARY KEY, name TEXT NOT NULL, type TEXT NOT NULL,
-            serialization_format TEXT NOT NULL,
-            offered_qos_profiles TEXT NOT NULL)""")
-        con.execute("""CREATE TABLE messages (
-            id INTEGER PRIMARY KEY, topic_id INTEGER NOT NULL,
-            timestamp INTEGER NOT NULL, data BLOB NOT NULL)""")
-        names_types = [
-            (1, tp["imu"], "sensor_msgs/msg/Imu"),
-            (2, tp["joint_state"], "sensor_msgs/msg/JointState"),
-            (3, tp["vo"], "custom_msgs/msg/VoRealtiveTransform"),
-            (4, tp["vo_pose"], "geometry_msgs/msg/PoseStamped"),
-            (5, tp["mocap"], "optitrack_broadcast/msg/Mocap"),
-        ]
-        for tid, name, typ in names_types:
-            con.execute("INSERT INTO topics VALUES (?,?,?,?,?)",
-                        (tid, name, typ, "cdr", ""))
+    names_types = [
+        (1, tp["imu"], "sensor_msgs/msg/Imu"),
+        (2, tp["joint_state"], "sensor_msgs/msg/JointState"),
+        (3, tp["vo"], "custom_msgs/msg/VoRealtiveTransform"),
+        (4, tp["vo_pose"], "geometry_msgs/msg/PoseStamped"),
+        (5, tp["mocap"], "optitrack_broadcast/msg/Mocap"),
+    ]
 
+    def write_db(path, chunk):
+        con = sqlite3.connect(path)
+        try:
+            con.execute("""CREATE TABLE topics (
+                id INTEGER PRIMARY KEY, name TEXT NOT NULL, type TEXT NOT NULL,
+                serialization_format TEXT NOT NULL,
+                offered_qos_profiles TEXT NOT NULL)""")
+            con.execute("""CREATE TABLE messages (
+                id INTEGER PRIMARY KEY, topic_id INTEGER NOT NULL,
+                timestamp INTEGER NOT NULL, data BLOB NOT NULL)""")
+            for tid, name, typ in names_types:
+                con.execute("INSERT INTO topics VALUES (?,?,?,?,?)",
+                            (tid, name, typ, "cdr", ""))
+            con.executemany(
+                "INSERT INTO messages (topic_id, timestamp, data) "
+                "VALUES (?,?,?)", chunk)
+            con.commit()
+        finally:
+            con.close()
+
+    if True:
         rows = []
         for k in range(len(rawlog.imu_t)):
             rows.append((1, int(rawlog.imu_t[k] * 1e9),
@@ -480,10 +522,43 @@ def write_rosbag(bag_dir: str, rawlog: RawLog, topics: Optional[dict] = None):
                          _ser_mocap(rawlog.mocap_t[k], rawlog.mocap_p[k],
                                     rawlog.mocap_v[k], rawlog.mocap_q[k])))
         rows.sort(key=lambda r: r[1])
-        con.executemany(
-            "INSERT INTO messages (topic_id, timestamp, data) VALUES (?,?,?)",
-            rows)
-        con.commit()
-    finally:
-        con.close()
-    return db
+
+    n_per = max_messages_per_file or max(len(rows), 1)
+    n_files = max(1, -(-len(rows) // n_per))
+    rel_paths = []
+    for fi in range(n_files):
+        rel = f"data_{fi}.db3"
+        write_db(os.path.join(bag_dir, rel),
+                 rows[fi * n_per:(fi + 1) * n_per])
+        rel_paths.append(rel)
+
+    # metadata.yaml (rosbag2_bagfile_information) — the authoritative file
+    # list + per-topic counts (what `ros2 bag info` reads)
+    from collections import Counter
+
+    counts = Counter(tid for tid, _, _ in rows)
+    t0 = rows[0][1] if rows else 0
+    t1 = rows[-1][1] if rows else 0
+    topic_entries = "\n".join(
+        f"    - topic_metadata:\n"
+        f"        name: {name}\n"
+        f"        type: {typ}\n"
+        f"        serialization_format: cdr\n"
+        f"        offered_qos_profiles: \"\"\n"
+        f"      message_count: {counts.get(tid, 0)}"
+        for tid, name, typ in names_types)
+    with open(os.path.join(bag_dir, "metadata.yaml"), "w") as f:
+        f.write(
+            "rosbag2_bagfile_information:\n"
+            "  version: 5\n"
+            "  storage_identifier: sqlite3\n"
+            "  relative_file_paths:\n"
+            + "".join(f"    - {p}\n" for p in rel_paths)
+            + f"  duration:\n    nanoseconds: {t1 - t0}\n"
+            f"  starting_time:\n    nanoseconds_since_epoch: {t0}\n"
+            f"  message_count: {len(rows)}\n"
+            "  topics_with_message_count:\n"
+            + topic_entries + "\n"
+            "  compression_format: \"\"\n"
+            "  compression_mode: \"\"\n")
+    return os.path.join(bag_dir, rel_paths[0])

@@ -142,3 +142,175 @@ def test_run_go1_raw_flag(tmp_path, raw):
     replay_io.save_rawlog(p, raw)
     run_example("run_go1.py", "--raw", p, "--raw-model", "cartesian",
                 "--ticks", "100", "--cpu", "--log-dir", str(tmp_path))
+
+
+# ---------------------------------------------------------------- goldens
+# Hand-authored CDR byte fixtures, written field by field from the XCDR1
+# spec with struct.pack — NOT via this package's CDRWriter — so the reader
+# is validated against bytes it demonstrably did not produce (a shared
+# misreading of XCDR1 alignment would fail here, not round-trip silently).
+
+import struct
+
+
+def _enc_le():
+    # encapsulation: representation_identifier=0x0001 (CDR_LE, big-endian
+    # bytes on the wire: 0x00 0x01), options=0x0000
+    return b"\x00\x01\x00\x00"
+
+
+def _hdr(sec, nsec, frame_id):
+    # std_msgs/Header: stamp.sec (int32) @4, stamp.nanosec (uint32) @4,
+    # frame_id string (uint32 length incl NUL, bytes, NUL)
+    fid = frame_id.encode() + b"\x00"
+    return struct.pack("<iI", sec, nsec) + struct.pack("<I", len(fid)) + fid
+
+
+def _pad_to(buf: bytes, align: int) -> bytes:
+    # XCDR1 alignment is relative to the start of the serialized payload
+    # (i.e. AFTER the 4-byte encapsulation header)
+    off = len(buf) - 4
+    return buf + b"\x00" * ((-off) % align)
+
+
+def test_golden_imu_bytes():
+    """sensor_msgs/Imu: header('i') forces 2 bytes of pre-double padding —
+    a reader that aligns relative to the buffer start (not payload start)
+    or skips the frame_id NUL decodes garbage here."""
+    buf = _enc_le() + _hdr(7, 500_000_000, "i")     # payload offset now 14
+    buf = _pad_to(buf, 8)                            # 2 pad bytes -> 16
+    q_xyzw = (0.1, -0.2, 0.3, 0.9)
+    buf += struct.pack("<4d", *q_xyzw)
+    buf += struct.pack("<9d", *range(9))             # orientation_covariance
+    gyro = (0.01, -0.02, 0.03)
+    buf += struct.pack("<3d", *gyro)
+    buf += struct.pack("<9d", *range(9))             # angular_velocity_cov
+    accel = (0.5, -9.8, 0.25)
+    buf += struct.pack("<3d", *accel)
+    buf += struct.pack("<9d", *range(9))             # linear_acceleration_cov
+
+    t, a, g, q_wxyz = rosbag_io.parse_imu(buf)
+    assert t == 7.5
+    np.testing.assert_allclose(a, accel, atol=0)
+    np.testing.assert_allclose(g, gyro, atol=0)
+    np.testing.assert_allclose(q_wxyz, [0.9, 0.1, -0.2, 0.3], atol=0)
+
+
+def test_golden_joint_state_bytes():
+    """sensor_msgs/JointState: string sequence + three double sequences,
+    each u32-length-prefixed, with 4-byte pads before sequence lengths and
+    8-byte pads before double data."""
+    buf = _enc_le() + _hdr(2, 250_000_000, "go1")
+    buf = _pad_to(buf, 4)
+    names = ["FR_0", "FR_1"]
+    buf += struct.pack("<I", len(names))
+    for n in names:
+        b = n.encode() + b"\x00"
+        buf = _pad_to(buf, 4) + struct.pack("<I", len(b)) + b
+    pos = (0.25, -0.5)
+    buf = _pad_to(buf, 4) + struct.pack("<I", 2)
+    buf = _pad_to(buf, 8) + struct.pack("<2d", *pos)
+    vel = (1.5, -2.5)
+    buf = _pad_to(buf, 4) + struct.pack("<I", 2)
+    buf = _pad_to(buf, 8) + struct.pack("<2d", *vel)
+    eff = (10.0, 20.0)
+    buf = _pad_to(buf, 4) + struct.pack("<I", 2)
+    buf = _pad_to(buf, 8) + struct.pack("<2d", *eff)
+
+    t, nm, p, v, e = rosbag_io.parse_joint_state(buf)
+    assert t == 2.25
+    assert nm == names
+    np.testing.assert_allclose(p, pos, atol=0)
+    np.testing.assert_allclose(v, vel, atol=0)
+    np.testing.assert_allclose(e, eff, atol=0)
+
+
+def test_golden_vo_relative_transform_bytes():
+    """custom_msgs/VoRealtiveTransform: TWO headers (current + previous
+    image stamp — the dual-timestamp sync driver) then x/y/z doubles."""
+    buf = _enc_le() + _hdr(5, 0, "cam")              # header = now
+    buf = _pad_to(buf, 4) + _hdr(4, 966_666_667, "cam")  # header_pre
+    dp = (0.004, -0.002, 0.001)
+    buf = _pad_to(buf, 8) + struct.pack("<3d", *dp)
+
+    t_pre, t_now, d = rosbag_io.parse_vo_relative_transform(buf)
+    assert t_now == 5.0
+    assert abs(t_pre - 4.966666667) < 1e-12
+    np.testing.assert_allclose(d, dp, atol=0)
+
+
+def test_golden_pose_stamped_bytes():
+    buf = _enc_le() + _hdr(3, 125_000_000, "map")
+    p = (1.0, 2.0, 3.0)
+    buf = _pad_to(buf, 8) + struct.pack("<3d", *p)
+    q_xyzw = (0.0, 0.0, 0.7071067811865476, 0.7071067811865476)
+    buf += struct.pack("<4d", *q_xyzw)
+
+    t, pp, q_wxyz = rosbag_io.parse_pose_stamped(buf)
+    assert t == 3.125
+    np.testing.assert_allclose(pp, p, atol=0)
+    np.testing.assert_allclose(
+        q_wxyz, [q_xyzw[3], q_xyzw[0], q_xyzw[1], q_xyzw[2]], atol=0)
+
+
+def test_golden_mocap_bytes():
+    """optitrack_broadcast/Mocap: float32 triplets + wxyz float32 quat."""
+    buf = _enc_le() + _hdr(1, 0, "world")
+    p = (0.5, 1.5, 0.25)
+    v = (0.125, -0.375, 0.0625)
+    w = (0.75, -0.125, 0.5)
+    q = (1.0, 0.0, 0.0, 0.0)
+    buf = _pad_to(buf, 4) + struct.pack("<3f", *p) + struct.pack("<3f", *v)
+    buf += struct.pack("<3f", *w) + struct.pack("<4f", *q)
+
+    t, pp, vv, qq = rosbag_io.parse_mocap(buf)
+    assert t == 1.0
+    np.testing.assert_allclose(pp, p, atol=0)
+    np.testing.assert_allclose(vv, v, atol=0)
+    np.testing.assert_allclose(qq, q, atol=0)
+
+
+def test_multifile_bag_with_metadata(tmp_path, raw):
+    """A split bag (max_messages_per_file) + metadata.yaml reads back
+    identically to the single-file bag; the metadata's relative_file_paths
+    ordering is consumed (a decoy .db3 that is NOT listed is ignored)."""
+    import sqlite3
+
+    single = tmp_path / "bag_single"
+    split = tmp_path / "bag_split"
+    rosbag_io.write_rosbag(str(single), raw)
+    rosbag_io.write_rosbag(str(split), raw, max_messages_per_file=97)
+
+    db3s = sorted(f.name for f in split.iterdir() if f.suffix == ".db3")
+    assert len(db3s) > 2                              # genuinely split
+    assert (split / "metadata.yaml").exists()
+
+    # decoy: an unlisted junk .db3 must be ignored via metadata.yaml
+    con = sqlite3.connect(split / "zz_unlisted.db3")
+    con.execute("CREATE TABLE topics (id INTEGER PRIMARY KEY, name TEXT, "
+                "type TEXT, serialization_format TEXT, "
+                "offered_qos_profiles TEXT)")
+    con.execute("CREATE TABLE messages (id INTEGER PRIMARY KEY, "
+                "topic_id INTEGER, timestamp INTEGER, data BLOB)")
+    con.execute("INSERT INTO topics VALUES (1, '/unitree/imu', "
+                "'sensor_msgs/msg/Imu', 'cdr', '')")
+    con.execute("INSERT INTO messages (topic_id, timestamp, data) "
+                "VALUES (1, 0, x'00010000')")
+    con.commit(); con.close()
+
+    r1 = rosbag_io.rawlog_from_rosbag(str(single))
+    r2 = rosbag_io.rawlog_from_rosbag(str(split))
+    for f in ("imu_t", "accel_b", "gyro_b", "joint_t", "joint_pos",
+              "foot_force", "vo_t_pre", "vo_t_now", "vo_dp_body", "mocap_t",
+              "mocap_p"):
+        np.testing.assert_array_equal(getattr(r1, f), getattr(r2, f),
+                                      err_msg=f)
+
+    # per-topic counts in metadata.yaml match the actual stream
+    import yaml
+    info = yaml.safe_load((split / "metadata.yaml").read_text())
+    bi = info["rosbag2_bagfile_information"]
+    assert bi["message_count"] == sum(
+        t["message_count"] for t in bi["topics_with_message_count"])
+    assert bi["relative_file_paths"] == db3s[:len(bi["relative_file_paths"])]
+    assert "zz_unlisted.db3" not in bi["relative_file_paths"]
