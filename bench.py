@@ -192,6 +192,18 @@ def main():
         print(f"MHE-only mega-kernel:   compile {c_mk:.1f}s, "
               f"{rate_mk:,.0f} solves/s "
               f"({rate_mk / rate_scan:.2f}x scanned)", file=sys.stderr)
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.roofline import report as roofline_report
+
+            rl = roofline_report(
+                rate_mk, chunk=int(os.environ.get("BENCH_MK_CHUNK", "64")))
+            extras["roofline_gflops"] = round(rl["gflops"], 1)
+            extras["roofline_vpu_frac"] = round(rl["vpu_frac"], 3)
+            extras["roofline_hbm_frac"] = round(rl["hbm_frac"], 4)
+            extras["roofline_bound"] = rl["bound"]
+        except Exception as e:
+            print(f"roofline report failed: {e}", file=sys.stderr)
     except Exception as e:  # keep the bench alive if Mosaic rejects a shape
         print(f"mega-kernel path failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -122,7 +122,10 @@ def make_consts(p: EstimatorParams, dtype=jnp.float32,
         ) if constrained else None,
         admm=admm_lib.ADMMSettings.from_osqp(p.osqp, admm_iters)
         if constrained else None,
-        use_pallas=use_pallas and not constrained,
+        # constrained + use_pallas routes the LANES window solve through the
+        # in-VMEM ADMM kernel (pallas/admm_kernel.py); the standard-layout
+        # constrained path stays on the XLA solver
+        use_pallas=use_pallas,
     )
 
 

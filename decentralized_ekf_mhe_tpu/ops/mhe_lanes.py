@@ -313,11 +313,7 @@ def solve_window(c: MHEConsts, st: MHEStateL) -> jnp.ndarray:
     runs, warm-started from st.z_adm/y_adm."""
     D, U, r = _masked_system(c, st)
     if c.x_lb is not None:
-        from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
-
-        return admm_lib.solve_box_tridiag_lanes(
-            D, U, r, c.x_lb, c.x_ub, c.admm, z0=st.z_adm, y0=st.y_adm,
-        ).x
+        return _solve_constrained(c, D, U, r, st.z_adm, st.y_adm).x
     if c.use_pallas:
         from decentralized_ekf_mhe_tpu.pallas import tridiag_kernel as tk
 
@@ -325,16 +321,27 @@ def solve_window(c: MHEConsts, st: MHEStateL) -> jnp.ndarray:
     return lanes.thomas_solve(D, U, r)
 
 
+def _solve_constrained(c: MHEConsts, D, U, r, z0, y0):
+    """Dispatch the lanes box-ADMM: in-VMEM Pallas kernel when c.use_pallas
+    (whole iteration loop fused, seconds of Mosaic compile vs minutes of XLA
+    scan compile), XLA scan solver otherwise. Identical semantics."""
+    if c.use_pallas:
+        from decentralized_ekf_mhe_tpu.pallas import admm_kernel as ak
+
+        return ak.solve_box_lanes(D, U, r, c.x_lb, c.x_ub, c.admm,
+                                  z0=z0, y0=y0)
+    from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
+
+    return admm_lib.solve_box_tridiag_lanes(
+        D, U, r, c.x_lb, c.x_ub, c.admm, z0=z0, y0=y0)
+
+
 @full_precision
 def solve_window_with_duals(c: MHEConsts, st: MHEStateL):
     """Constrained solve returning the ADMM iterates for the next tick's warm
     start: (x, z, y), each (N, s, B)."""
-    from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
-
     D, U, r = _masked_system(c, st)
-    res = admm_lib.solve_box_tridiag_lanes(
-        D, U, r, c.x_lb, c.x_ub, c.admm, z0=st.z_adm, y0=st.y_adm,
-    )
+    res = _solve_constrained(c, D, U, r, st.z_adm, st.y_adm)
     return res.x, res.z, res.y
 
 

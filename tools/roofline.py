@@ -1,0 +1,156 @@
+"""Mega-kernel roofline model: where 4M+ solves/s sits vs the v5e ceilings.
+
+Analytic FLOP/byte counts for one tick of the whole-tick Pallas mega-kernel
+(pallas/mhe_replay_kernel.py) at a given MHE shape, combined with a measured
+rate to report achieved GFLOP/s / GB/s against the chip's nominal ceilings
+and identify the binding resource. Run standalone for the model plus an
+optional on-device chunk-size sweep:
+
+    python tools/roofline.py [--sweep] [--B 1024] [--T 200]
+
+Ceiling assumptions (printed with results): TPU v5e (v5 lite) nominal HBM
+bandwidth 819 GB/s; VPU f32 vector throughput ~3.9 TFLOP/s (8x128 lanes x
+4 ALUs x ~0.94 GHz). The kernel is pure VPU work — the (9,9) blocks never
+touch the MXU (they are far below the 128x128 systolic tile; batching rides
+the 128-lane axis instead), so the MXU ceiling is irrelevant by design.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+HBM_GBPS = 819.0          # v5e nominal
+VPU_GFLOPS = 3900.0       # 8*128 lanes * 4 ALUs * ~0.94 GHz, f32
+
+
+def _gj_inv_flops(s: int) -> float:
+    """Unrolled Gauss-Jordan on (s, 2s) augmented rows: per pivot one row
+    divide (2s) + s-1 row eliminations (2 ops x 2s each)."""
+    return s * (2 * s + (s - 1) * 2 * 2 * s)
+
+
+def _matmul_flops(s: int) -> float:
+    return 2 * s * s * s
+
+
+def _matvec_flops(s: int) -> float:
+    return 2 * s * s
+
+
+def tick_model(N=20, s=9, m=12, L=4, chunk=64, dtype_bytes=4):
+    """FLOPs and HBM bytes for ONE tick of ONE lane in the mega-kernel."""
+    # ---- window solve (forward Thomas only — backward sweep elided) -----
+    solve = N * (_gj_inv_flops(s) + _matmul_flops(s) + _matmul_flops(s)
+                 + 3 * _matvec_flops(s))
+    # normal-equation assembly per slot: AtQd, AtQdA (s^3 each), HtR/HtRH
+    # (zero-skipped selector: ~2*s*m*s), PtQc terms (~2*3*s*3), matvecs
+    assemble = N * (2 * _matmul_flops(s) + 2 * 2 * s * m * s
+                    + 4 * 2 * 3 * s * 3 + 6 * _matvec_flops(s))
+    # ---- marginalization: one Schur complement at (s,s) -----------------
+    marg = (_gj_inv_flops(s) + 4 * _matmul_flops(s) + 6 * _matvec_flops(s))
+    # ---- dynamics/measurement build: R-congruences, 3x3 inverses --------
+    build = (L + 4) * (2 * _matmul_flops(3) * 3 + 60) + _gj_inv_flops(6)
+    flops = solve + assemble + marg + build
+
+    # ---- HBM traffic ----------------------------------------------------
+    inputs = (9 + 3 + 3 + 3 * L + 9 * L + 3 * L + L + 3) * dtype_bytes
+    out_x = s * dtype_bytes
+    state_floats = (N * m + N * m * m + 2 * N * s * s + N * s + N * 3
+                    + N * 9 + N + s * s + s + 12 + 3 + 9 + 3 + L)
+    state_amortized = 2 * state_floats * dtype_bytes / chunk
+    bytes_per_tick = inputs + out_x + state_amortized
+    return {
+        "flops_per_tick": flops,
+        "bytes_per_tick": bytes_per_tick,
+        "state_bytes": state_floats * dtype_bytes,
+        "intensity": flops / bytes_per_tick,
+    }
+
+
+def report(rate_ticks_per_s: float, N=20, s=9, m=12, L=4, chunk=64,
+           file=sys.stderr):
+    """Print achieved vs ceiling for a measured mega-kernel rate."""
+    mdl = tick_model(N=N, s=s, m=m, L=L, chunk=chunk)
+    gflops = rate_ticks_per_s * mdl["flops_per_tick"] / 1e9
+    gbps = rate_ticks_per_s * mdl["bytes_per_tick"] / 1e9
+    vpu_frac = gflops / VPU_GFLOPS
+    hbm_frac = gbps / HBM_GBPS
+    bound = "VPU-compute" if vpu_frac > hbm_frac else "HBM-bandwidth"
+    print(
+        f"roofline (N={N},s={s},chunk={chunk}): {mdl['flops_per_tick']/1e3:.0f} "
+        f"kFLOP/tick, {mdl['bytes_per_tick']:.0f} B/tick HBM "
+        f"(intensity {mdl['intensity']:.0f} FLOP/B) -> achieved "
+        f"{gflops:.0f} GFLOP/s ({100*vpu_frac:.0f}% of ~{VPU_GFLOPS/1e3:.1f} "
+        f"TFLOP/s VPU f32), {gbps:.1f} GB/s ({100*hbm_frac:.1f}% of "
+        f"{HBM_GBPS:.0f} GB/s HBM) — {bound}-bound; MXU idle by design "
+        f"(s={s} blocks ride the 128-lane VPU axis)", file=file)
+    return {"gflops": gflops, "gbps": gbps, "vpu_frac": vpu_frac,
+            "hbm_frac": hbm_frac, "bound": bound}
+
+
+def chunk_sweep(B=1024, T=200, chunks=(16, 32, 64, 128, 200)):
+    """On-device chunk-size sweep of the MHE-only mega-kernel."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+    from decentralized_ekf_mhe_tpu.io import synth
+    from decentralized_ekf_mhe_tpu.ops import estimator
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+
+    sys.path.insert(0, ".")
+    from bench import _params
+
+    params = _params()
+    log = synth.generate(synth.SynthConfig(T=T, seed=0))
+    data = estimator.tickdata_from_log(log, dtype=jnp.float32)
+    vo = estimator.vodata_from_log(log, dtype=jnp.float32)
+    data_b = batch_lib.to_time_leading(batch_lib.perturb_log_batch(
+        data, B, jax.random.PRNGKey(0), dtype=jnp.float32))
+    results = {}
+    for ch in chunks:
+        if ch >= T:
+            continue
+        fn = jax.jit(batch_lib.make_lanes_fleet_runner(
+            params, jnp.float32, use_megakernel=True, megakernel_chunk=ch))
+        try:
+            t0 = time.time()
+            x, _ = fn(data_b, vo)
+            float(jnp.sum(x[-1]))
+            comp = time.time() - t0
+            best = float("inf")
+            for rep in range(3):
+                db = data_b._replace(accel_b=data_b.accel_b + (rep + 1) * 1e-7)
+                t0 = time.time()
+                x, _ = fn(db, vo)
+                float(jnp.sum(x[-1]))
+                best = min(best, time.time() - t0)
+            rate = B * (T - 1) / best
+            results[ch] = rate
+            print(f"chunk={ch:4d}: {rate:,.0f} solves/s "
+                  f"(compile {comp:.1f}s)", file=sys.stderr)
+            report(rate, chunk=ch)
+        except Exception as e:
+            print(f"chunk={ch}: failed {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--B", type=int, default=1024)
+    ap.add_argument("--T", type=int, default=200)
+    ap.add_argument("--rate", type=float, default=None,
+                    help="report for a known measured rate (ticks/s)")
+    a = ap.parse_args()
+    if a.rate:
+        report(a.rate)
+    if a.sweep:
+        chunk_sweep(B=a.B, T=a.T)
+    if not a.rate and not a.sweep:
+        m = tick_model()
+        print(m)
