@@ -266,6 +266,31 @@ def main():
     assert vmax <= vbound + 1e-3, "box constraint violated"
     assert vmax >= vbound - 1e-2, "box constraint never active"
 
+    # A/B: the same constrained fleet through the in-VMEM Pallas ADMM kernel
+    # (pallas/admm_kernel.py — whole iteration loop fused per tick)
+    if on_tpu:
+        try:
+            c_conp = mhe.make_consts(params, dtype, x_lb=x_lb, x_ub=x_ub,
+                                     admm_iters=50, use_pallas=True)
+            conp = jax.jit(batch_lib.make_lanes_fleet_runner(
+                params, dtype, consts=c_conp))
+            c_adp, w_adp, (x_cp, _) = timed(conp, data_b, vo,
+                                            jitter=jit_data)
+            rate_conp = B * (T - 1) / w_adp
+            vmaxp = float(np.abs(np.asarray(x_cp[..., 3:6])).max())
+            extras["compile_s_constrained_pallas"] = round(c_adp, 1)
+            extras["constrained_pallas_solves_per_s"] = round(rate_conp, 0)
+            extras["constrained_pallas_max_abs_v"] = round(vmaxp, 4)
+            print(f"constrained MHE (PALLAS ADMM kernel): compile "
+                  f"{c_adp:.1f}s, B={B}: {rate_conp:,.0f} solves/s "
+                  f"({rate_conp / rate_con:.1f}x XLA scan), "
+                  f"max|v|={vmaxp:.4f}", file=sys.stderr)
+            assert vmaxp <= vbound + 1e-3
+        except Exception as e:
+            print(f"constrained Pallas path failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            extras["constrained_pallas_solves_per_s"] = None
+
     # ---- non-Go1 shape classes on hardware (VERDICT r03 #4): Cassie
     # (leg_odom_type=1, num_legs=2 => s=15 position-form measurements,
     # DecentralEst.cpp:101-118,550-563) and PogoX (single-leg hopper, L=1)
@@ -459,6 +484,46 @@ def main():
           f"{extras['dispatch_p50_ms']} ms, p99 {extras['dispatch_p99_ms']} ms "
           f"(n={len(lats)}; tunnel RTT floor — amortized on-device time above "
           f"is the realtime-relevant number)", file=sys.stderr)
+
+    # HIL block dispatch: one jitted 20-tick scan per host call with a
+    # DONATED carry (facade.update_block semantics) — per-tick dispatch cost
+    # drops ~K-fold vs tick-at-a-time (examples/run_hil.py is the streaming
+    # driver built on this)
+    K_blk = 20
+
+    def blk_fn(st_, d):
+        def sc(st2, dk):
+            st2, (xT, _) = mhe.step(
+                c1, st2, dk.R_sb, dk.accel_b, dk.omega_b, dk.p_foot,
+                dk.J_foot, dk.dq, dk.contact, False, jnp.zeros(3, dtype),
+                0, 0, dk.R_sb)
+            return st2, xT
+
+        return jax.lax.scan(sc, st_, d)
+
+    blk_jit = jax.jit(blk_fn, donate_argnums=0)
+    st2 = mhe.init(c1, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
+                   d0.J_foot, d0.dq, d0.contact, dtype=dtype)
+    blocks = [jax.tree.map(lambda a: a[k:k + K_blk], data)
+              for k in range(1, T - K_blk, K_blk)]
+    st2, xb = blk_jit(st2, blocks[0])
+    jax.block_until_ready(xb)
+    blats = []
+    for blk in blocks[1:]:
+        t0 = time.time()
+        st2, xb = blk_jit(st2, blk)
+        float(jnp.sum(xb))
+        blats.append((time.time() - t0) / K_blk)
+    blats_ms = np.asarray(blats) * 1e3
+    extras["dispatch_block20_per_tick_p50_ms"] = round(
+        float(np.percentile(blats_ms, 50)), 3)
+    extras["dispatch_block20_per_tick_p99_ms"] = round(
+        float(np.percentile(blats_ms, 99)), 3)
+    print(f"HIL block dispatch (K=20, donated carry): per-tick p50 "
+          f"{extras['dispatch_block20_per_tick_p50_ms']} ms, p99 "
+          f"{extras['dispatch_block20_per_tick_p99_ms']} ms "
+          f"({float(np.percentile(lats_ms, 50)) / max(float(np.percentile(blats_ms, 50)), 1e-9):.0f}x "
+          f"better than tick-at-a-time p50)", file=sys.stderr)
 
     cyc = w_pipe / (T - 1)
     print(f"fleet cycle time: {cyc*1e3:.3f} ms for {B} instances "
