@@ -209,6 +209,41 @@ def main():
               file=sys.stderr)
         extras["mhe_only_megakernel_solves_per_s"] = None
 
+    # ---- per-instance VO TIMING through the mega-kernel -----------------
+    # each lane on its own camera clock (the per-instance kernel variant;
+    # equivalence vs the per-instance scan path in tests/test_per_instance_vo)
+    if on_tpu:
+        try:
+            from decentralized_ekf_mhe_tpu.pallas import mhe_replay_kernel as mrk
+
+            c_mkpi = mhe.make_consts(params, dtype)
+            vo_pi = batch_lib.perturb_vo_batch(
+                vo, B, jax.random.PRNGKey(5), dtype=dtype,
+                per_instance_timing=True)
+            mkpi = jax.jit(lambda d, v: mrk.replay(c_mkpi, d, v, dtype=dtype,
+                                                   chunk=64))
+            data_l_pi = batch_lib.tickdata_to_lanes(data_b)
+            t0 = time.time()
+            x_pi = mkpi(data_l_pi, vo_pi)
+            sync(x_pi)
+            c_pi = time.time() - t0
+            best_pi = float("inf")
+            for rep in range(3):
+                db = data_l_pi._replace(
+                    accel_b=data_l_pi.accel_b + (rep + 1) * 1e-7)
+                t0 = time.time()
+                x_pi = mkpi(db, vo_pi)
+                sync(x_pi)
+                best_pi = min(best_pi, time.time() - t0)
+            rate_pi = ticks / best_pi
+            extras["mhe_per_instance_vo_megakernel_solves_per_s"] = round(
+                rate_pi, 0)
+            print(f"MHE-only mega-kernel, PER-INSTANCE VO clocks: compile "
+                  f"{c_pi:.1f}s, {rate_pi:,.0f} solves/s", file=sys.stderr)
+        except Exception as e:
+            print(f"per-instance mega-kernel failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # ---- staged pipeline: EKF scan -> Pallas mega-kernel MHE ------------
     rate_pipe_mk = 0.0
     pipe_mk = jax.jit(batch_lib.make_pipeline_fleet_runner(

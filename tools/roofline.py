@@ -18,7 +18,11 @@ the 128-lane axis instead), so the MXU ceiling is irrelevant by design.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# runnable as `python tools/roofline.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_GBPS = 819.0          # v5e nominal
 VPU_GFLOPS = 3900.0       # 8*128 lanes * 4 ALUs * ~0.94 GHz, f32
@@ -101,7 +105,6 @@ def chunk_sweep(B=1024, T=200, chunks=(16, 32, 64, 128, 200)):
     from decentralized_ekf_mhe_tpu.ops import estimator
     from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
 
-    sys.path.insert(0, ".")
     from bench import _params
 
     params = _params()
