@@ -297,6 +297,51 @@ def ekfblocks_from_log(log, dtype=jnp.float64) -> EKFBlocks:
     )
 
 
+def scan_ekf_blocks(ekf_st, ekf_blocks: EKFBlocks, ec):
+    """Scan the per-tick EKF substep blocks over the whole log.
+
+    When the measured VO quaternion is PER-LANE ((T,S,4,B) — Monte-Carlo
+    vision draws, perturb_ekf_blocks(vo_noise_scale)), that tensor is NOT
+    streamed through the scan: it stays a loop-invariant in HBM and a
+    tick-level ``lax.cond`` on "any VO event this tick" dynamic-slices the
+    (S,4,B) block only on active ticks (~15% at 30 Hz VO / 200 Hz ticks) —
+    streaming it per tick cost the benched pipeline ~8%.
+    Returns (final_state, q_seq (T,4,B))."""
+    from decentralized_ekf_mhe_tpu.ops import ekf_lanes
+
+    if ekf_blocks.vo_q.ndim != 4:
+        def ekf_step(st, ebt):
+            st = ekf_lanes.substep_block(
+                st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active, ebt.vo_q,
+                ebt.vo_steps_back, ec)
+            return st, st.q
+
+        return jax.lax.scan(ekf_step, ekf_st, ekf_blocks)
+
+    vo_q_full = ekf_blocks.vo_q                       # (T,S,4,B) invariant
+    T = vo_q_full.shape[0]
+    zero_blk = jnp.zeros(vo_q_full.shape[1:], vo_q_full.dtype)
+    any_act = jnp.any(jnp.asarray(ekf_blocks.vo_active, bool)
+                      .reshape(T, -1), axis=1)        # (T,)
+    eb_xs = ekf_blocks._replace(vo_q=jnp.zeros((T, 0), vo_q_full.dtype))
+
+    def ekf_step(st, inp):
+        ebt, t, act = inp
+        q_blk = jax.lax.cond(
+            act,
+            lambda: jax.lax.dynamic_index_in_dim(vo_q_full, t, 0,
+                                                 keepdims=False),
+            lambda: zero_blk)
+        st = ekf_lanes.substep_block(
+            st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active, q_blk,
+            ebt.vo_steps_back, ec)
+        return st, st.q
+
+    return jax.lax.scan(
+        ekf_step, ekf_st,
+        (eb_xs, jnp.arange(T, dtype=jnp.int32), any_act))
+
+
 @full_precision
 def run_pipeline_lanes(
     params: EstimatorParams,
@@ -336,14 +381,7 @@ def run_pipeline_lanes(
     B = data.accel_b.shape[-1]
     ekf_st = ekf_lanes.init_state(ekf_params, B, ring_len=ekf_ring_len,
                                   dtype=dtype)
-
-    def ekf_step(st, ebt):
-        st = ekf_lanes.substep_block(
-            st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active, ebt.vo_q,
-            ebt.vo_steps_back, ec)
-        return st, st.q
-
-    _, q_seq = jax.lax.scan(ekf_step, ekf_st, ekf_blocks)   # (T,4,B)
+    _, q_seq = scan_ekf_blocks(ekf_st, ekf_blocks, ec)      # (T,4,B)
     R_seq = ekf_lanes.to_rot(q_seq)                         # (T,3,3,B)
     x_seq, v_seq = run_mhe_lanes(
         params, data._replace(R_sb=R_seq), vo=vo, lever_arm=lever_arm,

@@ -138,14 +138,7 @@ def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
             B = data_l.accel_b.shape[-1]
             ekf_st = ekf_lanes.init_state(ekf_params, B,
                                           ring_len=ekf_ring_len, dtype=dtype)
-
-            def ekf_step(st, ebt):
-                st = ekf_lanes.substep_block(
-                    st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active,
-                    ebt.vo_q, ebt.vo_steps_back, ec)
-                return st, st.q
-
-            _, q_seq = jax.lax.scan(ekf_step, ekf_st, eb)   # (T,4,B)
+            _, q_seq = estimator.scan_ekf_blocks(ekf_st, eb, ec)  # (T,4,B)
             R_seq = ekf_lanes.to_rot(q_seq)                 # (T,3,3,B)
             data_l = data_l._replace(R_sb=R_seq)
             x = mrk.replay(c, data_l, vo, dtype=dtype, chunk=megakernel_chunk,

@@ -173,3 +173,48 @@ def test_example_run_fleet():
     out = run_example("run_fleet.py", "--cpu", "--instances", "8",
                       "--ticks", "40", "--mesh")
     assert "fleet velocity RMSE" in out.stdout
+
+
+def test_pipeline_per_lane_vo_q_matches_materialized_scan():
+    """The tick-gated loop-invariant gather of per-lane vo_q
+    (estimator.scan_ekf_blocks) equals streaming the materialized (T,S,4,B)
+    tensor through a plain scan, and a uniform per-lane fleet equals the
+    shared-q path."""
+    from decentralized_ekf_mhe_tpu.io import synth as synth_mod
+
+    log = synth_mod.generate(synth_mod.SynthConfig(T=24, seed=15))
+    p = EKFParams()
+    c = ekf_ops.make_consts(p, DT)
+    B = 3
+    eb1 = estimator.ekfblocks_from_log(log, dtype=DT)
+    key = jax.random.PRNGKey(7)
+    eb = batch_lib.perturb_ekf_blocks(eb1, B, key, dtype=DT,
+                                      vo_noise_scale=1.0)
+    assert eb.vo_q.ndim == 4          # genuinely per-lane
+
+    st0 = ekf_lanes.init_state(p, B, ring_len=16, dtype=DT)
+    _, q_gated = estimator.scan_ekf_blocks(st0, eb, c)
+
+    def plain_step(st, ebt):
+        st = ekf_lanes.substep_block(
+            st, ebt.gyro, ebt.accel, ebt.valid, ebt.vo_active, ebt.vo_q,
+            ebt.vo_steps_back, c)
+        return st, st.q
+
+    st0b = ekf_lanes.init_state(p, B, ring_len=16, dtype=DT)
+    _, q_plain = jax.lax.scan(plain_step, st0b, eb)
+    np.testing.assert_allclose(np.asarray(q_gated), np.asarray(q_plain),
+                               rtol=1e-12, atol=1e-14)
+
+    # uniform per-lane content (noise 0) == shared-q path
+    eb_u = batch_lib.perturb_ekf_blocks(eb1, B, key, noise_scale=0.0,
+                                        dtype=DT, vo_noise_scale=0.0)
+    eb_u_pl = eb_u._replace(
+        vo_q=jnp.broadcast_to(eb_u.vo_q[..., None],
+                              eb_u.vo_q.shape + (B,)))
+    st0c = ekf_lanes.init_state(p, B, ring_len=16, dtype=DT)
+    _, q_shared = estimator.scan_ekf_blocks(st0c, eb_u, c)
+    st0d = ekf_lanes.init_state(p, B, ring_len=16, dtype=DT)
+    _, q_perlane = estimator.scan_ekf_blocks(st0d, eb_u_pl, c)
+    np.testing.assert_allclose(np.asarray(q_perlane), np.asarray(q_shared),
+                               rtol=1e-12, atol=1e-14)
