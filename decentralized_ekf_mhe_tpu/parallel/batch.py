@@ -349,7 +349,8 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
 
 def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
                             dtype=jnp.float32, use_pallas=True,
-                            ekf_ring_len: int = 16):
+                            ekf_ring_len: int = 16,
+                            per_lane_vo_q: bool = False):
     """shard_map the full EKF+MHE pipeline fleet over the mesh — the
     production multi-chip path (config 5): instances sharded over all mesh
     axes, per-shard lanes-layout pipeline scan, fleet statistics psum-reduced
@@ -384,11 +385,15 @@ def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
         fleet_max = jax.lax.pmax(jnp.max(rmse), axes)
         return x, rmse, fleet_mean, fleet_max
 
+    # per-lane measured-VO quaternions ((T,S,4,B) Monte-Carlo vision draws)
+    # shard over the instance axis like the other lanes tensors
+    vo_q_spec = P(None, None, None, axes) if per_lane_vo_q else repl
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(
             estimator.TickData(*([data_spec] * 7)),
-            estimator.EKFBlocks(lanes_spec, lanes_spec, repl, repl, repl, repl),
+            estimator.EKFBlocks(lanes_spec, lanes_spec, repl, repl,
+                                vo_q_spec, repl),
             estimator.VOData(*([repl] * 4)),
             repl,
         ),

@@ -84,3 +84,38 @@ def test_covariance_sweep(setup):
     assert rmses.shape == (3,)
     assert np.isfinite(np.asarray(rmses)).all()
     assert 0 <= int(best) < 3
+
+
+def test_sharded_pipeline_per_lane_vo_q(setup):
+    """8-way sharded full pipeline with PER-LANE vision draws (vo_q sharded
+    over the instance axis) == the unsharded pipeline fleet runner."""
+    from decentralized_ekf_mhe_tpu.config import EKFParams
+
+    p, log, data, vo = setup
+    B = 16
+    ekf_p = EKFParams()
+    db = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, jax.random.PRNGKey(0)))
+    eb = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=jnp.float32), B,
+        jax.random.PRNGKey(1), vo_noise_scale=1.0)
+    assert eb.vo_q.ndim == 4
+    gt_v = jnp.asarray(log.gt_v_s, jnp.float32)
+
+    x_ref, _, _ = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        p, ekf_p, jnp.float32, use_pallas=False))(db, eb, vo)
+
+    mesh = mesh_lib.make_mesh()
+    runner = batch_lib.sharded_pipeline_runner(
+        p, ekf_p, mesh, jnp.float32, use_pallas=False, ekf_ring_len=16,
+        per_lane_vo_q=True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = ("data", "model")
+    db_sh = jax.device_put(db, NamedSharding(mesh, P(None, axes)))
+    lanes_sh = NamedSharding(mesh, P(None, None, None, axes))
+    eb_sh = eb._replace(gyro=jax.device_put(eb.gyro, lanes_sh),
+                        accel=jax.device_put(eb.accel, lanes_sh),
+                        vo_q=jax.device_put(eb.vo_q, lanes_sh))
+    x_sh, rmse, fleet_mean, fleet_max = runner(db_sh, eb_sh, vo, gt_v)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=2e-5)
