@@ -172,13 +172,14 @@ class TestMHELanesEquivalence:
         np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_ref),
                                    rtol=1e-7, atol=1e-8)
 
-    @pytest.mark.parametrize("adaptive", [True, False])
-    def test_constrained_lanes_matches_standard(self, adaptive):
+    @pytest.mark.parametrize("adaptive,lot", [(True, 0), (False, 0),
+                                              (True, 1)])
+    def test_constrained_lanes_matches_standard(self, adaptive, lot):
         """Fleet-scale constrained path: the lanes OSQP-semantics ADMM
         (admm.solve_box_tridiag_lanes) reproduces the standard-layout solver
         tick-for-tick at float64, warm starts included, with the velocity box
         genuinely active."""
-        p = _params(N=6)
+        p = _params(leg_odom_type=lot, N=6)   # lot=1 => s=21 (Cassie class)
         T, B = 16, 3
         log = synth.generate(synth.SynthConfig(T=T, seed=11))
         data = estimator.tickdata_from_log(log, dtype=DT)
