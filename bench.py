@@ -112,16 +112,18 @@ def main():
     vo = estimator.vodata_from_log(log, dtype=dtype)
     key = jax.random.PRNGKey(0)
     data_b = batch_lib.to_time_leading(
-        batch_lib.perturb_log_batch(data, B, key, dtype=dtype)
+        batch_lib.perturb_log_batch(data, B, key, params, dtype=dtype)
     )
-    # the benched fleet perturbs the FULL sensor suite per instance:
+    # the benched fleet perturbs the FULL sensor suite per instance with the
+    # CONFIGURED sensor stds (accel/gyro/joint-velocity/vo_p from params):
     # IMU/encoders (perturb_log_batch) AND vision — per-lane VO quaternion
     # draws into the EKF (vo_noise_scale) and per-lane relative-translation
     # draws into the MHE (perturb_vo_batch), one shared camera clock
     eb = batch_lib.perturb_ekf_blocks(
         estimator.ekfblocks_from_log(log, dtype=dtype), B,
-        jax.random.PRNGKey(1), dtype=dtype, vo_noise_scale=1.0)
-    vo_b = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(2),
+        jax.random.PRNGKey(1), params, dtype=dtype, vo_noise_scale=1.0,
+        ekf_params=ekf_params)
+    vo_b = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(2), params,
                                       dtype=dtype)
 
     def sync(val):
@@ -218,7 +220,7 @@ def main():
 
             c_mkpi = mhe.make_consts(params, dtype)
             vo_pi = batch_lib.perturb_vo_batch(
-                vo, B, jax.random.PRNGKey(5), dtype=dtype,
+                vo, B, jax.random.PRNGKey(5), params, dtype=dtype,
                 per_instance_timing=True)
             mkpi = jax.jit(lambda d, v: mrk.replay(c_mkpi, d, v, dtype=dtype,
                                                    chunk=64))
@@ -339,7 +341,7 @@ def main():
         data_r = estimator.tickdata_from_log(log_r, dtype=dtype)
         vo_r = estimator.vodata_from_log(log_r, dtype=dtype)
         data_rb = batch_lib.to_time_leading(
-            batch_lib.perturb_log_batch(data_r, B, key, dtype=dtype))
+            batch_lib.perturb_log_batch(data_r, B, key, rp, dtype=dtype))
         for pname, kw in (("scan", dict(use_pallas=on_tpu)),
                           ("megakernel", dict(use_megakernel=True))):
             if "use_megakernel" in kw and not on_tpu:
@@ -370,9 +372,9 @@ def main():
         x64, gt_v = _f64_oracle(td)
     eb1 = batch_lib.perturb_ekf_blocks(
         estimator.ekfblocks_from_log(log, dtype=dtype), 8,
-        jax.random.PRNGKey(2), noise_scale=0.0, dtype=dtype)
+        jax.random.PRNGKey(2), params, noise_scale=0.0, dtype=dtype)
     data1 = batch_lib.to_time_leading(
-        batch_lib.perturb_log_batch(data, 8, key, noise_scale=0.0,
+        batch_lib.perturb_log_batch(data, 8, key, params, noise_scale=0.0,
                                     dtype=dtype))
     pipe1 = jax.jit(batch_lib.make_pipeline_fleet_runner(
         params, ekf_params, dtype, use_pallas=on_tpu))
@@ -480,10 +482,10 @@ def main():
 
     # ---- honest latency: B=1 on-device per-tick + per-dispatch p50/p99 --
     dataL = batch_lib.to_time_leading(
-        batch_lib.perturb_log_batch(data, 1, key, dtype=dtype))
+        batch_lib.perturb_log_batch(data, 1, key, params, dtype=dtype))
     ebL = batch_lib.perturb_ekf_blocks(
         estimator.ekfblocks_from_log(log, dtype=dtype), 1,
-        jax.random.PRNGKey(3), dtype=dtype)
+        jax.random.PRNGKey(3), params, dtype=dtype)
     pipeL = jax.jit(batch_lib.make_pipeline_fleet_runner(
         params, ekf_params, dtype, use_pallas=False))
     _, wL, _ = timed(pipeL, dataL, ebL, vo, jitter=jit_data)

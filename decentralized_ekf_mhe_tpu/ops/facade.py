@@ -148,6 +148,12 @@ class DecentralizedEstimator:
         R_np = np.asarray(R_sb)
         K = R_np.shape[0]
         H = len(self._R_hist)
+        # Snapshot the ring BEFORE writing the block's rows: an event at block
+        # index k may reference a pre-block tick whose slot a LATER row of
+        # this same block (tick vtp+H > T+k) would clobber — gathering
+        # pre-block references from the snapshot and in-block references from
+        # R_np keeps the semantics of exactly K calls of update().
+        ring_pre = self._R_hist.copy()
         for k in range(K):
             self._R_hist[(self.T + k) % H] = R_np[k]
         va = (np.zeros(K, bool) if vo_active is None
@@ -162,7 +168,10 @@ class DecentralizedEstimator:
             raise ValueError(
                 f"a VO previous frame predates the {H}-tick orientation "
                 f"history; raise history_ticks")
-        R_pre = self._R_hist[vtp % H]
+        in_blk = vtp >= self.T
+        R_pre = np.where(in_blk[:, None, None],
+                         R_np[np.clip(vtp - self.T, 0, K - 1)],
+                         ring_pre[vtp % H])
 
         if K not in self._block_jit:
             c = self._c

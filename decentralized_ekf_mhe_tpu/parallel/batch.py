@@ -20,11 +20,24 @@ from decentralized_ekf_mhe_tpu.ops import estimator, kf as kf_ops, mhe
 from decentralized_ekf_mhe_tpu.parallel import mesh as mesh_lib
 
 
-def perturb_log_batch(data: estimator.TickData, B: int, key, noise_scale=1.0,
+def perturb_log_batch(data: estimator.TickData, B: int, key,
+                      params: Optional[EstimatorParams] = None,
+                      noise_scale=1.0,
                       dtype=jnp.float32) -> estimator.TickData:
     """Tile one log into B Monte-Carlo instances with fresh sensor noise draws
-    (config 4: sampled IMU/encoder noise)."""
+    (config 4: sampled IMU/encoder noise).
+
+    Draw magnitudes come from the CONFIGURED sensor stds (``params`` →
+    accel_input_std / gyro_input_std / joint_velocity_std — the same
+    robot_params schema the estimator's covariances are built from,
+    DecentralEst.hpp:18-63, parameters_go1.yaml:4-31), so the fleet samples
+    exactly the noise model the estimator assumes. ``params=None`` keeps the
+    schema defaults (EstimatorParams())."""
+    p = params if params is not None else EstimatorParams()
     ka, kg, kq = jax.random.split(key, 3)
+    acc_std = jnp.asarray(p.accel_input_std, dtype)       # (3,)
+    gyro_std = jnp.asarray(p.gyro_input_std, dtype)       # (3,)
+    dq_std = jnp.asarray(p.joint_velocity_std, dtype)     # (3,) per joint
 
     def tile(a):
         return jnp.broadcast_to(a[None].astype(dtype), (B,) + a.shape)
@@ -32,36 +45,51 @@ def perturb_log_batch(data: estimator.TickData, B: int, key, noise_scale=1.0,
     d = jax.tree.map(tile, data)
     T = data.accel_b.shape[0]
     d = d._replace(
-        accel_b=d.accel_b + noise_scale * 0.02 * jax.random.normal(ka, (B, T, 3), dtype),
-        omega_b=d.omega_b + noise_scale * 0.005 * jax.random.normal(kg, (B, T, 3), dtype),
-        dq=d.dq + noise_scale * 0.01 * jax.random.normal(kq, d.dq.shape, dtype),
+        accel_b=d.accel_b
+        + noise_scale * acc_std * jax.random.normal(ka, (B, T, 3), dtype),
+        omega_b=d.omega_b
+        + noise_scale * gyro_std * jax.random.normal(kg, (B, T, 3), dtype),
+        dq=d.dq + noise_scale * dq_std * jax.random.normal(kq, d.dq.shape, dtype),
     )
     return d
 
 
-def perturb_ekf_blocks(eb: estimator.EKFBlocks, B: int, key, noise_scale=1.0,
+def perturb_ekf_blocks(eb: estimator.EKFBlocks, B: int, key,
+                       params: Optional[EstimatorParams] = None,
+                       noise_scale=1.0,
                        dtype=jnp.float32,
-                       vo_noise_scale=0.0) -> estimator.EKFBlocks:
+                       vo_noise_scale=0.0, ekf_params=None) -> estimator.EKFBlocks:
     """Tile one log's EKF-rate blocks into a B-instance lanes-layout fleet
-    with fresh gyro/accel noise draws (the EKF half of perturb_log_batch).
+    with fresh gyro/accel noise draws (the EKF half of perturb_log_batch),
+    scaled by the configured gyro_input_std / accel_input_std (``params``;
+    defaults to the EstimatorParams() schema values).
 
     ``vo_noise_scale`` > 0 additionally perturbs the VISION content per lane:
-    the measured VO quaternion becomes per-lane (T,S,4,B) with a fresh small-
-    rotation draw per instance (renormalized), so the Monte-Carlo fleet
-    perturbs the full sensor suite (orien_ekf.cpp:144-154 measurement).
-    Event timing (valid/vo_active/steps_back) stays the fleet's shared camera
-    clock — one camera log drives every instance."""
+    the measured VO quaternion becomes per-lane (T,S,4,B) with a fresh draw
+    per instance scaled by the EKF's configured per-component quaternion
+    measurement std (``ekf_params.vo_meas_std``, orien_ekf.cpp:144-154 /
+    parameters_go1.yaml orien_sub vo_meas_std; renormalized), so the
+    Monte-Carlo fleet perturbs the full sensor suite with the stds the
+    estimator assumes. Event timing (valid/vo_active/steps_back) stays the
+    fleet's shared camera clock — one camera log drives every instance."""
+    from decentralized_ekf_mhe_tpu.config import EKFParams
+
+    p = params if params is not None else EstimatorParams()
+    ep = ekf_params if ekf_params is not None else EKFParams()
     kg, ka, kq = jax.random.split(key, 3)
     T, S = eb.gyro.shape[:2]
+    gyro_std = jnp.asarray(p.gyro_input_std, dtype)[None, None, :, None]
+    acc_std = jnp.asarray(p.accel_input_std, dtype)[None, None, :, None]
 
     def tile_lanes(a):
         return jnp.broadcast_to(a.astype(dtype)[..., None], a.shape + (B,))
 
     vo_q = eb.vo_q.astype(dtype)
     if vo_noise_scale > 0.0:
+        q_std = jnp.asarray(ep.vo_meas_std, dtype)[None, None, :, None]
         q_l = tile_lanes(vo_q)                          # (T,S,4,B)
         q_l = q_l + (
-            vo_noise_scale * 0.005
+            vo_noise_scale * q_std
             * jax.random.normal(kq, (T, S, 4, B), dtype)
             * eb.vo_active.astype(dtype)[..., None, None]
         )
@@ -70,27 +98,34 @@ def perturb_ekf_blocks(eb: estimator.EKFBlocks, B: int, key, noise_scale=1.0,
 
     return eb._replace(
         gyro=tile_lanes(eb.gyro)
-        + noise_scale * 0.005 * jax.random.normal(kg, (T, S, 3, B), dtype),
+        + noise_scale * gyro_std * jax.random.normal(kg, (T, S, 3, B), dtype),
         accel=tile_lanes(eb.accel)
-        + noise_scale * 0.02 * jax.random.normal(ka, (T, S, 3, B), dtype),
+        + noise_scale * acc_std * jax.random.normal(ka, (T, S, 3, B), dtype),
         vo_q=vo_q,
     )
 
 
-def perturb_vo_batch(vo: estimator.VOData, B: int, key, noise_scale=1.0,
+def perturb_vo_batch(vo: estimator.VOData, B: int, key,
+                     params: Optional[EstimatorParams] = None,
+                     noise_scale=1.0,
                      dtype=jnp.float32,
                      per_instance_timing=False) -> estimator.VOData:
     """Per-lane VO content noise for the MHE stage (the vision half of the
     Monte-Carlo story, DecentralEst.cpp:883-945 relative-translation
     measurements): dp_body becomes (T,3,B) with fresh per-instance draws on
-    active events. With ``per_instance_timing`` the active/tick metadata are
-    also broadcast per lane ((T,B)) for the fully per-instance scan path
-    (mhe_lanes.step_per_instance_vo); otherwise timing stays the shared
-    camera clock, which both the lanes scan and the mega-kernel consume."""
+    active events, scaled by the configured per-axis VO translation std
+    (``params.vo_p_std`` — the same std the VO cost weights assume,
+    parameters_go1.yaml visual_odom). With ``per_instance_timing`` the
+    active/tick metadata are also broadcast per lane ((T,B)) for the fully
+    per-instance scan path (mhe_lanes.step_per_instance_vo); otherwise timing
+    stays the shared camera clock, which both the lanes scan and the
+    mega-kernel consume."""
+    p = params if params is not None else EstimatorParams()
     T = vo.dp_body.shape[0]
+    dp_std = jnp.asarray(p.vo_p_std, dtype)[None, :, None]
     dp = jnp.broadcast_to(vo.dp_body.astype(dtype)[:, :, None], (T, 3, B))
     dp = dp + (
-        noise_scale * 0.002 * jax.random.normal(key, (T, 3, B), dtype)
+        noise_scale * dp_std * jax.random.normal(key, (T, 3, B), dtype)
         * vo.active.astype(dtype)[:, None, None]
     )
     if per_instance_timing:

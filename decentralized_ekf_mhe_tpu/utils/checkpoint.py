@@ -36,6 +36,19 @@ def load_carry(path: str, like):
     for i, ref in enumerate(like_leaves):
         key = f"leaf_{i}"
         if key in data:
+            # Leaves are matched by flatten order, so a saved array whose
+            # shape disagrees with the template leaf means the carry's
+            # STRUCTURE changed in a non-trailing position (e.g. a nested
+            # state gained fields) and every later leaf would silently load
+            # into a shifted slot — refuse rather than resume wrong state.
+            saved_shape = tuple(data[key].shape)
+            ref_shape = tuple(np.shape(ref))
+            if saved_shape != ref_shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {saved_shape} does not match "
+                    f"the template's {ref_shape}; the carry structure changed "
+                    f"in a non-trailing position — this snapshot cannot be "
+                    f"resumed into the current carry type")
             leaves.append(jnp.asarray(data[key], getattr(ref, "dtype", None)))
         else:
             # Forward compatibility: a carry type may gain TRAILING fields

@@ -62,10 +62,10 @@ def main(argv=None):
     vo = estimator.vodata_from_log(log, dtype=dtype)
     key = jax.random.PRNGKey(args.seed)
     data_b = batch_lib.to_time_leading(
-        batch_lib.perturb_log_batch(data, B, key, dtype=dtype))
+        batch_lib.perturb_log_batch(data, B, key, est_params, dtype=dtype))
     eb = batch_lib.perturb_ekf_blocks(
         estimator.ekfblocks_from_log(log, dtype=dtype), B,
-        jax.random.PRNGKey(args.seed + 1), dtype=dtype)
+        jax.random.PRNGKey(args.seed + 1), est_params, dtype=dtype)
     gt_v = jnp.asarray(log.gt_v_s, dtype)
 
     if args.mesh:

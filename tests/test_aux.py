@@ -62,3 +62,73 @@ def test_example_driver(tmp_path):
     out = log_io.read_log(str(tmp_path / "go1"))
     assert out["x_MHE"].shape == (120, 9)
     assert np.isfinite(out["v_body"]).all()
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    """A saved leaf whose shape disagrees with the template (carry structure
+    changed in a non-trailing position) must refuse to load, not silently
+    shift every later leaf (advisor r04)."""
+    carry = {"a": jnp.zeros((3, 4)), "b": jnp.ones((2,))}
+    path = str(tmp_path / "c.npz")
+    checkpoint.save_carry(path, carry)
+    bad_template = {"a": jnp.zeros((3, 5)), "b": jnp.ones((2,))}
+    try:
+        checkpoint.load_carry(path, bad_template)
+    except ValueError as e:
+        assert "shape" in str(e)
+    else:
+        raise AssertionError("shape mismatch did not raise")
+    # matching template still round-trips
+    out = checkpoint.load_carry(path, carry)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.zeros((3, 4)))
+
+
+def test_perturb_noise_matches_configured_stds():
+    """Monte-Carlo draws are scaled by the CONFIGURED sensor stds (robot_params
+    schema, DecentralEst.hpp:18-63) — the fleet samples the noise model the
+    estimator assumes (VERDICT r04 #7)."""
+    from decentralized_ekf_mhe_tpu.config import EKFParams
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+
+    p = EstimatorParams(
+        num_legs=4, leg_odom_type=0, rate=200, N=10,
+        accel_input_std=[0.025, 0.05, 0.02], gyro_input_std=[0.03] * 3,
+        joint_velocity_std=[0.22] * 3, vo_p_std=[0.004] * 3,
+        foot_swing_std=[1e7] * 3)
+    log = synth.generate(synth.SynthConfig(T=64, seed=3))
+    data = estimator.tickdata_from_log(log, dtype=jnp.float32)
+    B = 256
+    d_b = batch_lib.perturb_log_batch(data, B, jax.random.PRNGKey(0), p,
+                                      dtype=jnp.float32)
+    # empirical std across the fleet ≈ configured std, per axis
+    for field, std in (("accel_b", p.accel_input_std),
+                       ("omega_b", p.gyro_input_std)):
+        delta = np.asarray(getattr(d_b, field)) - np.asarray(
+            getattr(data, field))[None]
+        emp = delta.std(axis=(0, 1))
+        np.testing.assert_allclose(emp, std, rtol=0.05)
+    dq_delta = np.asarray(d_b.dq) - np.asarray(data.dq)[None]
+    np.testing.assert_allclose(dq_delta.std(axis=(0, 1, 2)),
+                               p.joint_velocity_std, rtol=0.05)
+
+    vo = estimator.vodata_from_log(log, dtype=jnp.float32)
+    vo_b = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(1), p,
+                                      dtype=jnp.float32)
+    act = np.asarray(vo.active)
+    dp_delta = (np.asarray(vo_b.dp_body)
+                - np.asarray(vo.dp_body)[:, :, None])[act]
+    np.testing.assert_allclose(dp_delta.std(axis=(0, 2)), p.vo_p_std,
+                               rtol=0.1)
+
+    eb = estimator.ekfblocks_from_log(log, dtype=jnp.float32)
+    ep = EKFParams(vo_meas_std=[0.003] * 4)
+    eb_b = batch_lib.perturb_ekf_blocks(eb, B, jax.random.PRNGKey(2), p,
+                                        dtype=jnp.float32, vo_noise_scale=1.0,
+                                        ekf_params=ep)
+    v = np.asarray(eb.valid)
+    g_delta = (np.asarray(eb_b.gyro) - np.asarray(eb.gyro)[..., None])[v]
+    np.testing.assert_allclose(g_delta.std(axis=(0, 2)), p.gyro_input_std,
+                               rtol=0.05)
+    a_delta = (np.asarray(eb_b.accel) - np.asarray(eb.accel)[..., None])[v]
+    np.testing.assert_allclose(a_delta.std(axis=(0, 2)), p.accel_input_std,
+                               rtol=0.05)

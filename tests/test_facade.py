@@ -146,3 +146,69 @@ def test_facade_update_block_matches_per_tick():
         outs.append(np.asarray(x_blk))
     np.testing.assert_allclose(np.concatenate(outs), xs, atol=1e-9)
     assert est2.T == est1.T
+
+
+def test_facade_update_block_vo_slot_clobber():
+    """A VO event whose pre-block frame slot would be overwritten by a LATER
+    row of the same block must still read the correct pre-frame orientation
+    (advisor r04: update_block wrote all K rows before gathering R_pre)."""
+    p = _params(0, N=6)
+    T = 20
+    H = 8
+    log = synth.generate(synth.SynthConfig(T=T, seed=7))
+    # craft one VO event at tick 10 referencing tick 5: with H=8 the slot
+    # 5%8 is clobbered by the block row at tick 13 (13%8=5) unless the gather
+    # snapshots the ring before writing
+    va = np.zeros(T, bool); va[10] = True
+    vtp = np.zeros(T, np.int64); vtp[10] = 5
+    vtn = np.zeros(T, np.int64); vtn[10] = 9
+    vdp = np.zeros((T, 3)); vdp[10] = [0.01, -0.02, 0.005]
+
+    est1 = DecentralizedEstimator(p, dtype=jnp.float64, history_ticks=H)
+    est1.initialize(*_tick_args(log, 0))
+    for k in range(1, T):
+        est1.update(*_tick_args(log, k), vo_active=bool(va[k]), vo_dp=vdp[k],
+                    vo_tick_pre=int(vtp[k]), vo_tick_now=int(vtn[k]))
+
+    est2 = DecentralizedEstimator(p, dtype=jnp.float64, history_ticks=H)
+    est2.initialize(*_tick_args(log, 0))
+    # blocks [1,10) then [10,20): the event rides the second block whose
+    # later rows (ticks 13..) wrap onto the event's pre-frame slot
+    for lo, hi in ((1, 10), (10, T)):
+        sl = slice(lo, hi)
+        est2.update_block(
+            log.R_sb_gt[sl], log.accel_b[sl], log.omega_b[sl],
+            log.p_foot[sl], log.J_foot[sl], log.dq[sl], log.contact[sl],
+            vo_active=va[sl], vo_dp=vdp[sl], vo_tick_pre=vtp[sl],
+            vo_tick_now=vtn[sl])
+    np.testing.assert_allclose(np.asarray(est2.x), np.asarray(est1.x),
+                               atol=1e-9)
+
+
+def test_facade_update_block_vo_in_block_reference():
+    """A VO event whose pre-frame tick lies INSIDE the same block gathers the
+    orientation from the block's own rows."""
+    p = _params(0, N=6)
+    T = 16
+    log = synth.generate(synth.SynthConfig(T=T, seed=8))
+    va = np.zeros(T, bool); va[12] = True
+    vtp = np.zeros(T, np.int64); vtp[12] = 9
+    vtn = np.zeros(T, np.int64); vtn[12] = 11
+    vdp = np.zeros((T, 3)); vdp[12] = [0.004, 0.002, -0.001]
+
+    est1 = DecentralizedEstimator(p, dtype=jnp.float64)
+    est1.initialize(*_tick_args(log, 0))
+    for k in range(1, T):
+        est1.update(*_tick_args(log, k), vo_active=bool(va[k]), vo_dp=vdp[k],
+                    vo_tick_pre=int(vtp[k]), vo_tick_now=int(vtn[k]))
+
+    est2 = DecentralizedEstimator(p, dtype=jnp.float64)
+    est2.initialize(*_tick_args(log, 0))
+    sl = slice(1, T)
+    est2.update_block(
+        log.R_sb_gt[sl], log.accel_b[sl], log.omega_b[sl], log.p_foot[sl],
+        log.J_foot[sl], log.dq[sl], log.contact[sl],
+        vo_active=va[sl], vo_dp=vdp[sl], vo_tick_pre=vtp[sl],
+        vo_tick_now=vtn[sl])
+    np.testing.assert_allclose(np.asarray(est2.x), np.asarray(est1.x),
+                               atol=1e-9)
