@@ -284,8 +284,11 @@ def solve_box_tridiag_lanes(D, U, r, lb, ub, settings: ADMMSettings,
 
     Layout: D (K,s,s,B), U (K-1,s,s,B), r (K,s,B) with the instance batch B
     on the minor (lane) axis (ops/lanes.py); bounds lb/ub are (s,) shared
-    across the fleet (±inf ⇒ unconstrained dim); ``valid`` is a shared (K,)
-    warmup mask. Same ρ/σ/α/adaptive-ρ/converged-freeze/polish semantics as
+    across the fleet or (s,B) PER-LANE (±inf ⇒ unconstrained dim) — the
+    per-lane form sweeps the box across Monte-Carlo instances in one
+    program (the reference's per-run YAML bound construction,
+    DecentralEst.cpp:222-348, lifted to a fleet axis); ``valid`` is a shared
+    (K,) warmup mask. Same ρ/σ/α/adaptive-ρ/converged-freeze/polish semantics as
     the standard-layout solver (equivalence at f64:
     tests/test_mhe_lanes.py::test_constrained_lanes_matches_standard); the
     x-update matrix is factorized once per ρ-epoch (lanes.thomas_factor) and
@@ -304,8 +307,12 @@ def solve_box_tridiag_lanes(D, U, r, lb, ub, settings: ADMMSettings,
         vU = (valid[:-1] & valid[1:])[:, None, None, None].astype(U.dtype)
         U = U * vU
 
-    lb_l = jnp.asarray(lb, D.dtype)[:, None]               # (s,1) over lanes
-    ub_l = jnp.asarray(ub, D.dtype)[:, None]
+    lb_l = jnp.asarray(lb, D.dtype)
+    ub_l = jnp.asarray(ub, D.dtype)
+    if lb_l.ndim == 1:
+        lb_l = lb_l[:, None]                               # (s,1) over lanes
+    if ub_l.ndim == 1:
+        ub_l = ub_l[:, None]
 
     from decentralized_ekf_mhe_tpu.ops import lanes
 

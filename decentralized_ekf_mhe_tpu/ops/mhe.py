@@ -93,10 +93,12 @@ class MHEState(NamedTuple):
 def make_consts(p: EstimatorParams, dtype=jnp.float32,
                 x_lb=None, x_ub=None, admm_iters=None,
                 use_pallas: bool = False) -> MHEConsts:
-    """Build static MHE constants. Passing x_lb/x_ub ((s,) arrays; ±inf for
-    unconstrained dims) switches solve_window to the ADMM path with OSQP
-    settings from ``p.osqp`` and a fixed iteration budget (default
-    min(maxQPIter, 200) — the timeLimit analog)."""
+    """Build static MHE constants. Passing x_lb/x_ub ((s,) shared or (s,B)
+    PER-LANE arrays; ±inf for unconstrained dims) switches solve_window to
+    the ADMM path with OSQP settings from ``p.osqp`` and a fixed iteration
+    budget (default min(maxQPIter, 200) — the timeLimit analog). Per-lane
+    bounds sweep the box across a B-instance fleet in one program
+    (DecentralEst.cpp:222-348 per-run bound construction, fleet-lifted)."""
     from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
 
     s = p.dim_state
@@ -355,10 +357,17 @@ def solve_window(c: MHEConsts, st: MHEState) -> jnp.ndarray:
         from decentralized_ekf_mhe_tpu.ops import admm as admm_lib
 
         x = admm_lib.solve_box_tridiag(
-            Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl,
+            Dl, Ul, rl, _std_bounds(c.x_lb), _std_bounds(c.x_ub), c.admm,
+            valid=vl,
             z0=jnp.moveaxis(st.z_adm, -2, 0), y0=jnp.moveaxis(st.y_adm, -2, 0),
         ).x
     return jnp.moveaxis(x, 0, -2)
+
+
+def _std_bounds(b):
+    """Per-lane (s,B) bounds -> standard-layout (B,s) broadcastable over
+    (K,B,s) iterates; shared (s,) bounds pass through."""
+    return b.T if getattr(b, "ndim", 1) == 2 else b
 
 
 @full_precision
@@ -373,7 +382,8 @@ def solve_window_with_duals(c: MHEConsts, st: MHEState):
     rl = jnp.moveaxis(r, -2, 0)
     vl = jnp.moveaxis(jnp.broadcast_to(valid, r.shape[:-1]), -1, 0)
     res = admm_lib.solve_box_tridiag(
-        Dl, Ul, rl, c.x_lb, c.x_ub, c.admm, valid=vl,
+        Dl, Ul, rl, _std_bounds(c.x_lb), _std_bounds(c.x_ub), c.admm,
+        valid=vl,
         z0=jnp.moveaxis(st.z_adm, -2, 0), y0=jnp.moveaxis(st.y_adm, -2, 0),
     )
     mv = lambda a: jnp.moveaxis(a, 0, -2)

@@ -29,8 +29,24 @@ pallas/tridiag_kernel.py); products with the CONSTANT measurement/VO
 selector matrices (A_meas, P_cam — mostly zeros) skip zero terms at trace
 time.
 
-Restrictions (same as the lanes path): unconstrained QP, shared VO schedule
-across the fleet, single instance axis.
+Two solver tails share the assembly/ingestion/marginalization body:
+
+- unconstrained (default): streaming forward block-Thomas — only the newest
+  state is consumed per tick, so the backward sweep is skipped.
+- CONSTRAINED (``c.x_lb`` set): the assembled block-tridiagonal system runs
+  the full OSQP-semantics box-ADMM (pallas/admm_core.py — ρ-epoch
+  factorizations, α-relaxed projections, converged-freeze, adaptive ρ,
+  active-set polish; MheSrb.cpp:272-349 / parameters_go1.yaml:37-50) per
+  tick, with the warm-start iterates (z, y) ring-carried in VMEM exactly
+  like the window tensors (OSQP setWarmStart(true), DecentralEst.cpp:204)
+  and per-lane (s, B) bounds as kernel operands. This makes the constrained
+  production pipeline tick-chunked and VMEM-resident — the reference's
+  200 Hz cycle IS the inequality-capable solver (DecentralEst.cpp:172-177),
+  so the constrained fleet rides the same mega-kernel as the
+  unconstrained one.
+
+Restrictions (same as the lanes path): shared VO schedule across the fleet
+unless per_instance, single instance axis.
 """
 
 from __future__ import annotations
@@ -352,49 +368,57 @@ def _bezier_node(pts, u):
     )
 
 
-def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
+def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
+                 admm_ks=None):
     """``per_instance=True`` compiles the PER-INSTANCE-VO variant: the VO
     event metadata (active/tick_pre/tick_now) and the Bezier schedule
     (times/count) carry a lane axis, and the ingestion block runs fully
     masked every tick (the in-kernel twin of
     mhe_lanes._apply_vo_per_instance) instead of pl.when-gated — each lane
-    follows its own camera clock (DecentralEst.cpp:883-945 per instance)."""
+    follows its own camera clock (DecentralEst.cpp:883-945 per instance).
+
+    ``admm_ks`` (an admm_core.ADMMCoreStatic) compiles the CONSTRAINED
+    variant: per-lane bounds arrive as (s, Bt) operands, the warm-start
+    iterates (z, y) ride two extra ring-carried state tensors, and each
+    tick's window solve is the full in-VMEM box-ADMM instead of the
+    streaming Thomas sweep."""
     N, s, m, L = kc.N, kc.s, kc.m, kc.L
     H, P = kc.A_meas, kc.P_cam
     dt = kc.dt
     dtype = jnp.dtype(dtype)
     dt_c = dtype.type(dt)
     one = dtype.type(1.0)
+    constrained = admm_ks is not None
 
-    def kernel(
-        # scalar/SMEM inputs
-        t0_ref, vo_active_ref, vo_tick_pre_ref, vo_tick_now_ref,
-        bez_times_in, bez_count_in,
-        # VMEM tensor inputs (time-major chunk)
-        R_ref, accel_ref, omega_ref, pfoot_ref, Jfoot_ref, dq_ref,
-        contact_ref, vo_inc_ref,
-        # VMEM state inputs
-        y_meas_in, Q_meas_in, A_dyn_in, b_dyn_in, Q_dyn_in, b_cam_in,
-        Q_cam_in, cam_act_in, M_p_in, n_p_in, bez_pts_in, p_accum_in,
-        prev_R_in, prev_acc_in, prev_ct_in,
-        # outputs
-        x_ref,
-        y_meas_o, Q_meas_o, A_dyn_o, b_dyn_o, Q_dyn_o, b_cam_o, Q_cam_o,
-        cam_act_o, M_p_o, n_p_o, bez_pts_o, p_accum_o, prev_R_o,
-        prev_acc_o, prev_ct_o, bez_times_o, bez_count_o,
-    ):
+    def kernel(*refs):
+        # unpack by position (the constrained variant adds lb/ub operands
+        # after the tensor inputs and a z/y ring pair to the state)
+        (t0_ref, vo_active_ref, vo_tick_pre_ref, vo_tick_now_ref,
+         bez_times_in, bez_count_in,
+         R_ref, accel_ref, omega_ref, pfoot_ref, Jfoot_ref, dq_ref,
+         contact_ref, vo_inc_ref) = refs[:14]
+        k = 14
+        if constrained:
+            lb_ref, ub_ref = refs[k:k + 2]
+            k += 2
+        n_state = 17 if constrained else 15
+        state_in = refs[k:k + n_state]
+        k += n_state
+        x_ref = refs[k]
+        k += 1
+        state_out = refs[k:k + n_state]
+        k += n_state
+        bez_times_o, bez_count_o = refs[k:k + 2]
+        (y_meas_o, Q_meas_o, A_dyn_o, b_dyn_o, Q_dyn_o, b_cam_o, Q_cam_o,
+         cam_act_o, M_p_o, n_p_o, bez_pts_o, p_accum_o, prev_R_o,
+         prev_acc_o, prev_ct_o) = state_out[:15]
+        if constrained:
+            z_adm_o, y_adm_o = state_out[15:17]
+
         # copy the incoming state into the output refs once; the tick loop
         # then mutates the output refs in place (state lives in VMEM for the
         # whole chunk)
-        state_pairs = [
-            (y_meas_in, y_meas_o), (Q_meas_in, Q_meas_o),
-            (A_dyn_in, A_dyn_o), (b_dyn_in, b_dyn_o), (Q_dyn_in, Q_dyn_o),
-            (b_cam_in, b_cam_o), (Q_cam_in, Q_cam_o),
-            (cam_act_in, cam_act_o), (M_p_in, M_p_o), (n_p_in, n_p_o),
-            (bez_pts_in, bez_pts_o), (p_accum_in, p_accum_o),
-            (prev_R_in, prev_R_o), (prev_acc_in, prev_acc_o),
-            (prev_ct_in, prev_ct_o),
-        ]
+        state_pairs = list(zip(state_in, state_out))
         for src, dst in state_pairs:
             dst[...] = src[...]
         if per_instance:
@@ -593,7 +617,15 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
             prev_acc_o[:, :] = _add_const_vec(_matvec(R_t, accel_t), kc.gravity)
             prev_ct_o[:, :] = contact_t
 
-            # ---- normal equations + block-Thomas solve -----------------
+            if constrained:
+                # warm-start iterate shift: the fresh slot (new logical N-1
+                # = physical pN1) reuses the previous newest iterate (old
+                # logical N-1 = physical pN2) — the ring twin of
+                # mhe_lanes.step's z_adm/y_adm _shift_set
+                z_adm_o[pN1] = z_adm_o[pN2]
+                y_adm_o[pN1] = y_adm_o[pN2]
+
+            # ---- normal equations assembly -----------------------------
             n_states = jnp.minimum(t + 1, N)
             first = N - n_states
             eye_s = _const_mat(np.eye(s), M_p_o[0, 0])
@@ -603,6 +635,7 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
             U_prev = None
             prev_QdPP = None
             prev_rin = None
+            Ds, Us, rs, z0s, y0s = [], [], [], [], []
             for j in range(N):
                 pj = jax.lax.rem(base_new + j, jnp.asarray(N, t.dtype))
                 valid = j >= first
@@ -646,6 +679,17 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
                 U_j = jnp.where(iv & ((j + 1) >= first), U_j,
                                 jnp.zeros_like(U_j))
 
+                if constrained:
+                    # collect the masked system + ring-gathered warm starts
+                    # for the whole-window ADMM below
+                    Ds.append(D_j)
+                    rs.append(r_j)
+                    if j < N - 1:
+                        Us.append(U_j)
+                    z0s.append(z_adm_o[pj])
+                    y0s.append(y_adm_o[pj])
+                    continue
+
                 # forward Thomas step — only the newest state x_{N-1} is
                 # consumed per tick (run_mhe_lanes uses x_window[N-1]), so
                 # the backward substitution sweep is skipped entirely
@@ -659,7 +703,22 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
                     Sinv = _gj_inv(S_j)
                 U_prev = U_j
 
-            x_ref[i] = _matvec(Sinv, yv)      # logical N-1 = newest state
+            if constrained:
+                # ---- whole-window box-ADMM (admm_core) -----------------
+                from decentralized_ekf_mhe_tpu.pallas import admm_core
+
+                x_w, z_w, y_w, _ = admm_core.admm_box_solve(
+                    jnp.stack(Ds, axis=0), jnp.stack(Us, axis=0),
+                    jnp.stack(rs, axis=0), jnp.stack(z0s, axis=0),
+                    jnp.stack(y0s, axis=0), lb_ref[...], ub_ref[...],
+                    admm_ks, dtype)
+                for j in range(N):
+                    pj = jax.lax.rem(base_new + j, jnp.asarray(N, t.dtype))
+                    z_adm_o[pj] = z_w[j]
+                    y_adm_o[pj] = y_w[j]
+                x_ref[i] = x_w[N - 1]
+            else:
+                x_ref[i] = _matvec(Sinv, yv)  # logical N-1 = newest state
             return 0
 
         jax.lax.fori_loop(0, Tc, tick, 0)
@@ -670,28 +729,35 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False):
 # -------------------------------------------------------------- host side
 
 
-def _state_to_arrays(st):
+def _state_to_arrays(st, constrained=False):
     """mhe_lanes.MHEStateL -> kernel state tuple (lanes layout, f32-ready)."""
     pts = jnp.moveaxis(st.bez.pts, 0, -1)        # (B,4,3) -> (4,3,B)
     p_accum = jnp.moveaxis(st.bez.p_accum, 0, -1)  # (B,3) -> (3,B)
-    return (
+    base = (
         st.y_meas, st.Q_meas, st.A_dyn, st.b_dyn, st.Q_dyn, st.b_cam,
         st.Q_cam, st.cam_active.astype(st.y_meas.dtype), st.M_p, st.n_p,
         pts, p_accum, st.prev_R, st.prev_accel_s, st.prev_contact,
     )
+    if constrained:
+        return base + (st.z_adm, st.y_adm)
+    return base
 
 
 def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
-                  tensors, state, interpret=False, per_instance=False):
+                  tensors, state, interpret=False, per_instance=False,
+                  admm_ks=None, bounds=None):
     """One pallas_call over a chunk of Tc ticks. Returns (x, state').
 
     With ``per_instance`` the vo metadata and Bezier schedule carry the lane
-    axis: vo_meta entries are (Tc,B), bez_scalars are ((4,B), (1,B))."""
+    axis: vo_meta entries are (Tc,B), bez_scalars are ((4,B), (1,B)).
+    With ``admm_ks``/``bounds`` ((lb, ub) per-lane (s,B)) the constrained
+    kernel runs and ``state`` carries the (z, y) warm-start rings."""
     N, s, m, L = kc.N, kc.s, kc.m, kc.L
     dtype = state[0].dtype
     B = state[0].shape[-1]
     assert B % LANE_TILE == 0, B
     grid = (B // LANE_TILE,)
+    constrained = admm_ks is not None
 
     def vspec(shape):
         nd = len(shape)
@@ -712,15 +778,20 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
         (N, m), (N, m, m), (N, s, s), (N, s), (N, s, s), (N, 3),
         (N, 3, 3), (N,), (s, s), (s,), (4, 3), (3,), (3, 3), (3,), (L,),
     ]
+    if constrained:
+        state_shapes += [(N, s), (N, s)]
+    n_state = len(state_shapes)
     vo_spec = vspec((Tc,)) if per_instance else sspec()
     bez_t_spec = vspec((4,)) if per_instance else sspec()
     bez_c_spec = vspec((1,)) if per_instance else sspec()
+    bound_specs = [vspec((s,)), vspec((s,))] if constrained else []
     in_specs = (
         [sspec()] + [vo_spec] * 3             # t0, vo meta
         + [bez_t_spec, bez_c_spec]            # bez times/count
         + [vspec((Tc, 3, 3)), vspec((Tc, 3)), vspec((Tc, 3)),
            vspec((Tc, L, 3)), vspec((Tc, L, 3, 3)), vspec((Tc, L, 3)),
            vspec((Tc, L)), vspec((Tc, 3))]
+        + bound_specs
         + [vspec(sh) for sh in state_shapes]
     )
     out_specs = (
@@ -740,11 +811,14 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
         + bez_out_shape
     )
 
-    kernel = _make_kernel(kc, Tc, dtype, per_instance=per_instance)
-    # alias the 15 window-state inputs (positions 14..28) onto the matching
-    # state outputs (positions 1..15): the state enters/leaves HBM once per
-    # chunk with no extra copy; the scalar SMEM carries are copied (tiny)
-    aliases = {14 + i: 1 + i for i in range(15)}
+    kernel = _make_kernel(kc, Tc, dtype, per_instance=per_instance,
+                          admm_ks=admm_ks)
+    # alias the window-state inputs onto the matching state outputs
+    # (positions 1..n_state): the state enters/leaves HBM once per chunk
+    # with no extra copy; the scalar SMEM carries are copied (tiny)
+    n_before_state = 14 + (2 if constrained else 0)
+    aliases = {n_before_state + i: 1 + i for i in range(n_state)}
+    bound_args = list(bounds) if constrained else []
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -763,11 +837,12 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
         vo_tick_now.astype(jnp.int32),
         bez_times, bez_count,
         R_c, accel_c, omega_c, pfoot_c, Jfoot_c, dq_c, contact_c, vo_inc_c,
+        *bound_args,
         *state,
     )
     x = outs[0]
-    new_state = tuple(outs[1:16])
-    new_scalars = (outs[16], outs[17])
+    new_state = tuple(outs[1:1 + n_state])
+    new_scalars = (outs[1 + n_state], outs[2 + n_state])
     return x, new_state, new_scalars
 
 
@@ -783,6 +858,12 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         rank, compiling the per-instance kernel variant.
     Returns x_seq (T, s, B) — newest-state estimate per tick (tick 0 is the
     init-window solve, as in estimator.run_mhe_lanes).
+
+    Constrained consts (``c.x_lb`` set — (s,) shared or (s,B) per-lane box)
+    run the CONSTRAINED kernel variant: each tick's window solve is the
+    in-VMEM OSQP-semantics box-ADMM with ring-carried warm starts
+    (pallas/admm_core.py; equivalence vs the scanned constrained lanes path
+    in tests/test_megakernel.py).
     """
     from decentralized_ekf_mhe_tpu.ops import lanes, mhe_lanes
 
@@ -791,6 +872,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
     T_total = data_l.accel_b.shape[0]
     B = data_l.accel_b.shape[-1]
     per_instance = vo.active.ndim == 2
+    constrained = c.x_lb is not None
     pad = (-B) % LANE_TILE
     if pad:
         # pad the fleet to a whole lane tile by repeating the last instance
@@ -805,8 +887,21 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
             vo_p = jax.tree.map(pad_lane, vo)
         elif vo.dp_body.ndim == 3:
             vo_p = vo._replace(dp_body=pad_lane(vo.dp_body))
-        return replay(c, data_p, vo_p, dtype=dtype, chunk=chunk,
+        c_p = c
+        if constrained and getattr(c.x_lb, "ndim", 1) == 2:
+            # per-lane bounds ride the same last-instance-repeat padding
+            c_p = c._replace(x_lb=pad_lane(c.x_lb), x_ub=pad_lane(c.x_ub))
+        return replay(c_p, data_p, vo_p, dtype=dtype, chunk=chunk,
                       interpret=interpret)[..., :B]
+
+    admm_ks = None
+    bounds = None
+    if constrained:
+        from decentralized_ekf_mhe_tpu.pallas import admm_kernel as ak
+        from decentralized_ekf_mhe_tpu.pallas.admm_core import ADMMCoreStatic
+
+        admm_ks = ADMMCoreStatic.from_settings(c.admm, N=N, s=s)
+        bounds = ak.broadcast_bounds(c.x_lb, c.x_ub, s, B, jnp.dtype(dtype))
 
     d0 = jax.tree.map(lambda a: a[0], data_l)
     st0 = mhe_lanes.init(c, d0.R_sb, d0.accel_b, d0.omega_b, d0.p_foot,
@@ -831,7 +926,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         dp[:, :, None] if dp.ndim == 2 else dp, (T_total, 3, B))
     vo_inc = lanes.mv(R_pre, dp_l) * act_l
 
-    state = _state_to_arrays(st0)
+    state = _state_to_arrays(st0, constrained=constrained)
     if per_instance:
         # per-instance Bezier schedule: times (B,4) -> (4,B), count (B,)->(1,B)
         bez_scalars = (jnp.moveaxis(st0.bez.times, 0, -1).astype(dtype),
@@ -872,6 +967,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
             x, state, bez_scalars = _replay_chunk(
                 kc, chunk, t0, vm, bez_scalars, tn, state,
                 interpret=interpret, per_instance=per_instance,
+                admm_ks=admm_ks, bounds=bounds,
             )
             return (state, bez_scalars), x
 
@@ -885,6 +981,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         x, state, bez_scalars = _replay_chunk(
             kc, Tc, t, vo_meta, bez_scalars, tensors, state,
             interpret=interpret, per_instance=per_instance,
+            admm_ks=admm_ks, bounds=bounds,
         )
         xs.append(x)
         t += Tc

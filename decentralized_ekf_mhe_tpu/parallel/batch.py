@@ -142,7 +142,7 @@ def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
                                dtype=jnp.float32, use_pallas=True,
                                ekf_ring_len: int = 16,
                                use_megakernel=False, megakernel_chunk=64,
-                               megakernel_interpret=False):
+                               megakernel_interpret=False, consts=None):
     """The full-pipeline fleet path: EKF(500 Hz) → MHE(200 Hz) staged in
     lanes layout (estimator.run_pipeline_lanes) — the reference's actual
     production pipeline (go1_launch.py:18-63), batched. Staging is an exact
@@ -155,14 +155,25 @@ def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
     ``use_megakernel=True`` swaps the MHE stage's scanned lanes replay for
     the fused Pallas mega-kernel (pallas/mhe_replay_kernel.py) — identical
     semantics (tests/test_pipeline.py), ~2.5-3x the throughput.
+
+    Pass ``consts`` (mhe.make_consts(..., x_lb=, x_ub=)) to run the
+    CONSTRAINED production cycle — the reference's 200 Hz loop IS the
+    inequality-capable OSQP solve (MheSrb.cpp:272-349 invoked per tick from
+    DecentralEst.cpp:172-177), so state box constraints ride the same
+    pipeline here: the scanned path via the lanes ADMM, the mega-kernel path
+    via the in-VMEM per-tick box-ADMM (pallas/admm_core.py), both
+    warm-started, with (s,) shared or (s,B) per-lane bounds.
     """
     from decentralized_ekf_mhe_tpu.ops import ekf_lanes, lanes
     from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
 
-    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    c = consts if consts is not None else mhe_lib.make_consts(
+        params, dtype, use_pallas=use_pallas)
 
     if use_megakernel:
+        from decentralized_ekf_mhe_tpu.pallas import ekf_kernel
         from decentralized_ekf_mhe_tpu.pallas import mhe_replay_kernel as mrk
+        from decentralized_ekf_mhe_tpu.pallas.tridiag_kernel import LANE_TILE
 
         ec = ekf_lanes.make_consts(ekf_params, dtype)
         lever = jnp.asarray(kf_ops.DEFAULT_LEVER_ARM, dtype)
@@ -173,7 +184,14 @@ def make_pipeline_fleet_runner(params: EstimatorParams, ekf_params,
             B = data_l.accel_b.shape[-1]
             ekf_st = ekf_lanes.init_state(ekf_params, B,
                                           ring_len=ekf_ring_len, dtype=dtype)
-            _, q_seq = estimator.scan_ekf_blocks(ekf_st, eb, ec)  # (T,4,B)
+            if eb.vo_active.ndim == 2 and B % LANE_TILE == 0:
+                # fused EKF stage: whole 500 Hz loop VMEM-resident
+                # (pallas/ekf_kernel.py; shared camera clock)
+                q_seq, _ = ekf_kernel.replay(ec, ekf_st, eb,
+                                             chunk=megakernel_chunk,
+                                             interpret=megakernel_interpret)
+            else:
+                _, q_seq = estimator.scan_ekf_blocks(ekf_st, eb, ec)  # (T,4,B)
             R_seq = ekf_lanes.to_rot(q_seq)                 # (T,3,3,B)
             data_l = data_l._replace(R_sb=R_seq)
             x = mrk.replay(c, data_l, vo, dtype=dtype, chunk=megakernel_chunk,
@@ -341,19 +359,24 @@ def sharded_monte_carlo(params: EstimatorParams, mesh, data_b: estimator.TickDat
 
 
 def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
-                         use_pallas=True):
+                         use_pallas=True, consts=None):
     """shard_map the fused fleet runner over the mesh (config 5 pod scale).
 
     The instance axis is sharded over all mesh axes; each shard replays its
     local sub-fleet through one scan (Pallas window solve inside), and fleet
     statistics are psum-reduced over ICI. Returns f(data_tb, vo, gt_v) ->
     (x (T,B,s) sharded, rmse (B,) sharded, stats replicated).
+
+    Pass ``consts`` with x_lb/x_ub for the constrained fleet. NOTE: (s,B)
+    per-lane bounds must be sized to the PER-SHARD fleet (B/n_devices) —
+    the consts are closed over inside the shard_map body.
     """
     shard_map = jax.shard_map
 
     from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
 
-    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    c = consts if consts is not None else mhe_lib.make_consts(
+        params, dtype, use_pallas=use_pallas)
     axes = tuple(mesh.axis_names)
     batch_spec = P(None, axes)        # (T, B, ...) with B sharded
     repl = P()
@@ -385,7 +408,7 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
 def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
                             dtype=jnp.float32, use_pallas=True,
                             ekf_ring_len: int = 16,
-                            per_lane_vo_q: bool = False):
+                            per_lane_vo_q: bool = False, consts=None):
     """shard_map the full EKF+MHE pipeline fleet over the mesh — the
     production multi-chip path (config 5): instances sharded over all mesh
     axes, per-shard lanes-layout pipeline scan, fleet statistics psum-reduced
@@ -395,12 +418,17 @@ def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
     (T,S,3,B) B-sharded, metadata replicated), vo replicated, gt_v (T,3)
     replicated) -> (x (T,B,s) sharded, rmse (B,) sharded, fleet_mean,
     fleet_max replicated).
+
+    Pass ``consts`` with x_lb/x_ub for the CONSTRAINED multi-chip pipeline
+    (MheSrb.cpp:272-349 per-tick solve, sharded). (s,B) per-lane bounds must
+    be sized to the PER-SHARD fleet (B/n_devices).
     """
     shard_map = jax.shard_map
 
     from decentralized_ekf_mhe_tpu.ops import mhe as mhe_lib
 
-    c = mhe_lib.make_consts(params, dtype, use_pallas=use_pallas)
+    c = consts if consts is not None else mhe_lib.make_consts(
+        params, dtype, use_pallas=use_pallas)
     axes = tuple(mesh.axis_names)
     data_spec = P(None, axes)          # (T, B, ...) with B sharded
     lanes_spec = P(None, None, None, axes)  # (T, S, 3, B) with B sharded

@@ -155,3 +155,73 @@ def test_megakernel_f32_accuracy_gate():
     # and the f32 paths must remain pointwise sane vs the oracle
     assert dev_scan < 5e-2, dev_scan
     assert dev_mk < 5e-2, dev_mk
+
+
+def test_megakernel_constrained_matches_lanes_f64():
+    """CONSTRAINED mega-kernel (in-VMEM per-tick box-ADMM + ring-carried
+    warm starts) reproduces the scanned constrained lanes path exactly at
+    f64 across chunk boundaries (VERDICT r04 #1), and the box binds."""
+    dtype = jnp.float64
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=6,
+                        foot_swing_std=[1e7] * 3)
+    p.osqp.abs_tol = 1e-8
+    p.osqp.relative_tol = 1e-8
+    log, data_b, vo = _fleet(T=24, B=B, seed=9, dtype=dtype)
+    s = p.dim_state
+    vb = 0.08
+    x_lb = np.full(s, -np.inf); x_lb[3:6] = -vb
+    x_ub = np.full(s, np.inf); x_ub[3:6] = vb
+    c = mhe.make_consts(p, dtype, x_lb=x_lb, x_ub=x_ub, admm_iters=40)
+    data_l = batch_lib.tickdata_to_lanes(data_b)
+
+    x_ref, _ = estimator.run_mhe_lanes(p, data_l, vo=vo, dtype=dtype,
+                                       consts=c)
+    x_mk = mrk.replay(c, data_l, vo, dtype=dtype, chunk=7, interpret=True)
+    x_mk = jnp.moveaxis(x_mk, -1, 1)
+    np.testing.assert_allclose(np.asarray(x_mk), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-8)
+    v = np.asarray(x_mk[..., 3:6])
+    assert (np.abs(v) <= vb + 1e-6).all(), "box violated"
+    assert (np.abs(v) >= vb - 1e-6).any(), "box never active"
+
+
+def test_megakernel_constrained_per_lane_bounds_f64():
+    """(s,B) per-lane bounds through the constrained mega-kernel: lane b's
+    trajectory equals the shared-bounds kernel run with lane b's box
+    (VERDICT r04 #5 — the fleet tuning-sweep story)."""
+    dtype = jnp.float64
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=5,
+                        foot_swing_std=[1e7] * 3)
+    p.osqp.abs_tol = 1e-8
+    p.osqp.relative_tol = 1e-8
+    T = 16
+    log = synth.generate(synth.SynthConfig(T=T, seed=13))
+    data = estimator.tickdata_from_log(log, dtype=dtype)
+    vo = estimator.vodata_from_log(log, dtype=dtype)
+    # identical trajectories across the fleet; only the box differs per lane
+    data_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], B) + a.shape[1:]),
+        data)
+    data_l = batch_lib.tickdata_to_lanes(data_b)
+    s = p.dim_state
+    bnds = np.linspace(0.15, 0.45, B)
+    lb_B = np.full((s, B), -np.inf); ub_B = np.full((s, B), np.inf)
+    lb_B[3:6] = -bnds; ub_B[3:6] = bnds
+    c_pl = mhe.make_consts(p, dtype, x_lb=lb_B, x_ub=ub_B, admm_iters=40)
+    x_pl = jnp.moveaxis(
+        mrk.replay(c_pl, data_l, vo, dtype=dtype, chunk=6, interpret=True),
+        -1, 1)                                             # (T,B,s)
+    for b in (0, B // 2, B - 1):
+        lb1 = np.full(s, -np.inf); ub1 = np.full(s, np.inf)
+        lb1[3:6] = -bnds[b]; ub1[3:6] = bnds[b]
+        c1 = mhe.make_consts(p, dtype, x_lb=lb1, x_ub=ub1, admm_iters=40)
+        x1 = jnp.moveaxis(
+            mrk.replay(c1, data_l, vo, dtype=dtype, chunk=6,
+                       interpret=True), -1, 1)
+        np.testing.assert_allclose(np.asarray(x_pl[:, b]),
+                                   np.asarray(x1[:, b]),
+                                   rtol=1e-9, atol=1e-10)
+        assert (np.abs(np.asarray(x_pl[:, b, 3:6])) <= bnds[b] + 1e-6).all()
+    # tightest lane's box binds; loosest lane's solution exceeds it
+    assert (np.abs(np.asarray(x_pl[:, 0, 3:6])) >= bnds[0] - 1e-6).any()
+    assert (np.abs(np.asarray(x_pl[:, B - 1, 3:6])) > bnds[0]).any()

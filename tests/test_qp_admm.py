@@ -391,3 +391,50 @@ def test_pallas_admm_kernel_warmup_mask():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_x.x),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_per_lane_bounds_match_vmapped_shared():
+    """(s,B) PER-LANE bounds: lane b of the fleet solve equals a separate
+    shared-bounds solve with that lane's box, on both the XLA lanes solver
+    and the Pallas kernel (VERDICT r04 #5)."""
+    import numpy as np
+    from decentralized_ekf_mhe_tpu.ops import admm
+    from decentralized_ekf_mhe_tpu.pallas import admm_kernel as ak
+
+    rng = np.random.default_rng(23)
+    K, s, B = 6, 5, 4
+    D = rng.standard_normal((K, B, s, s))
+    D = D @ np.swapaxes(D, -1, -2) + 5 * np.eye(s)
+    U = 0.1 * rng.standard_normal((K - 1, B, s, s))
+    r = rng.standard_normal((K, B, s))
+    # each lane gets its own box (the tuning-sweep story)
+    bnd = np.linspace(0.1, 0.4, B)
+    lb_B = np.broadcast_to(-bnd, (s, B)).copy()
+    ub_B = np.broadcast_to(bnd, (s, B)).copy()
+    lb_B[0, :] = -np.inf
+    ub_B[-1, :] = np.inf
+    st = admm.ADMMSettings(rho=0.5, sigma=1e-6, alpha=1.6, iters=60,
+                           abs_tol=1e-9, rel_tol=1e-9)
+    mv = lambda a: jnp.asarray(np.moveaxis(a, 1, -1))
+
+    res_fleet = admm.solve_box_tridiag_lanes(
+        mv(D), mv(U), mv(r), jnp.asarray(lb_B), jnp.asarray(ub_B), st)
+    res_pal = ak.solve_box_lanes(mv(D), mv(U), mv(r), lb_B, ub_B, st,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(res_pal.x),
+                               np.asarray(res_fleet.x),
+                               rtol=1e-9, atol=1e-12)
+    # oracle: each lane solved alone with its shared (s,) box
+    for b in range(B):
+        one = lambda a: jnp.asarray(np.moveaxis(a[:, b:b + 1], 1, -1))
+        res_b = admm.solve_box_tridiag_lanes(
+            one(D), one(U), one(r), jnp.asarray(lb_B[:, b]),
+            jnp.asarray(ub_B[:, b]), st)
+        np.testing.assert_allclose(np.asarray(res_fleet.x[..., b]),
+                                   np.asarray(res_b.x[..., 0]),
+                                   rtol=1e-8, atol=1e-10)
+        # every lane's own box is respected
+        xb = np.asarray(res_fleet.x[:, 1:-1, b])
+        assert (np.abs(xb) <= bnd[b] + 1e-6).all()
+    # ... and the tightest lane's box genuinely binds
+    assert (np.abs(np.asarray(res_fleet.x[:, 1:-1, 0])) >= bnd[0] - 1e-9).any()
