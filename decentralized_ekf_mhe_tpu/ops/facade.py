@@ -212,3 +212,186 @@ class DecentralizedEstimator:
         self.T = 0
         self.x = None
         self.v_body = None
+
+
+class PipelineEstimator:
+    """Stateful FULL-CYCLE facade: orientation EKF *in the loop* + MHE.
+
+    The reference deployment runs `orien_est` live — the 500 Hz quaternion
+    EKF publishes `imu/filter` (orien_ekf.cpp:77-105) which `robotSub`
+    consumes every 5 ms cycle (EstSub.cpp:34-43) before the MHE solve. This
+    facade closes the same loop for streaming/HIL use: ``update_block``
+    takes RAW gyro/accel substep blocks plus the tick-rate leg-odometry
+    rows, runs ekf_lanes.substep_block and mhe_lanes.step in the SAME jitted
+    scan (donated carry, one dispatch per K ticks), and keeps a device-side
+    orientation ring for the MHE's delayed-VO R_pre lookup
+    (DecentralEst.cpp:915). Block-streamed output equals the offline
+    run_pipeline_lanes replay exactly (tests/test_facade.py).
+    """
+
+    def __init__(self, params: EstimatorParams, ekf_params,
+                 dtype=jnp.float32, x_lb=None, x_ub=None,
+                 use_pallas: bool = False, ekf_ring_len: int = 16,
+                 lever_arm=kf.DEFAULT_LEVER_ARM, history_ticks: int = 256):
+        from decentralized_ekf_mhe_tpu.ops import ekf_lanes
+
+        self.params = params
+        self.ekf_params = ekf_params
+        self.dtype = dtype
+        self._c = mhe.make_consts(params, dtype, x_lb=x_lb, x_ub=x_ub,
+                                  use_pallas=use_pallas)
+        self._ec = ekf_lanes.make_consts(ekf_params, dtype)
+        self._ekf_ring_len = ekf_ring_len
+        self._H = history_ticks
+        self._lever = jnp.asarray(lever_arm, dtype)
+        self._carry = None
+        self.T = 0
+        self.x = None
+        self.v_body = None
+        self.q = None
+        self._block_jit = {}
+
+    def _lanes(self, a, tail_dims):
+        """Host array -> lanes layout with a singleton instance axis."""
+        return jnp.asarray(a, self.dtype)[..., None]
+
+    # -- tick-0: EKF over block 0 -> R_0 -> InitializeMHE ------------------
+    def initialize(self, ekf_gyro, ekf_accel, ekf_valid,
+                   accel_b, omega_b, p_foot, J_foot, dq, contact,
+                   ekf_vo_active=None, ekf_vo_q=None, ekf_vo_steps_back=None):
+        """Tick 0 (timerCallback first pass, EstSub.cpp:65-70): run the
+        tick's EKF substeps (ekf_gyro/ekf_accel (S,3), ekf_valid (S,)),
+        then InitializeMHE with the fused orientation."""
+        from decentralized_ekf_mhe_tpu.ops import ekf_lanes, mhe_lanes
+
+        S = np.asarray(ekf_gyro).shape[0]
+        ekf_st = ekf_lanes.init_state(self.ekf_params, 1,
+                                      ring_len=self._ekf_ring_len,
+                                      dtype=self.dtype)
+        va = (np.zeros(S, bool) if ekf_vo_active is None
+              else np.asarray(ekf_vo_active, bool))
+        vq = (np.zeros((S, 4)) if ekf_vo_q is None
+              else np.asarray(ekf_vo_q))
+        sb = (np.zeros(S, np.int64) if ekf_vo_steps_back is None
+              else np.asarray(ekf_vo_steps_back, np.int64))
+        ekf_st = ekf_lanes.substep_block(
+            ekf_st, self._lanes(ekf_gyro, 1), self._lanes(ekf_accel, 1),
+            jnp.asarray(ekf_valid, bool), jnp.asarray(va),
+            jnp.asarray(vq, self.dtype), jnp.asarray(sb, jnp.int32),
+            self._ec)
+        R0 = ekf_lanes.to_rot(ekf_st.q)                  # (3,3,1)
+
+        l = self._lanes
+        mhe_st = mhe_lanes.init(
+            self._c, R0, l(accel_b, 1), l(omega_b, 1), l(p_foot, 2),
+            l(J_foot, 3), l(dq, 2), l(contact, 1), dtype=self.dtype)
+        x0 = mhe_lanes.solve_window(self._c, mhe_st)[self._c.N - 1]  # (s,1)
+        ring = jnp.zeros((self._H, 3, 3, 1), self.dtype).at[0].set(R0)
+        self._carry = (ekf_st, mhe_st, ring, jnp.asarray(0, jnp.int32))
+        self.x = x0[:, 0]
+        self.q = ekf_st.q[:, 0]
+        from decentralized_ekf_mhe_tpu.ops import lanes as lanes_ops
+        self.v_body = lanes_ops.mv(
+            R0, x0[3:6] + lanes_ops.cross(l(omega_b, 1),
+                                          self._lever[:, None]))[:, 0]
+        self.T = 1
+        return self.x
+
+    # -- K full cycles in ONE device dispatch ------------------------------
+    def update_block(self, ekf_gyro, ekf_accel, ekf_valid,
+                     accel_b, omega_b, p_foot, J_foot, dq, contact,
+                     ekf_vo_active=None, ekf_vo_q=None,
+                     ekf_vo_steps_back=None,
+                     vo_active=None, vo_dp=None, vo_tick_pre=None,
+                     vo_tick_now=None):
+        """Process K aligned FULL cycles (EKF substeps + MHE solve each) in
+        one dispatch. EKF-rate args carry (K,S,...) padded blocks; MHE-rate
+        args carry a leading K axis; vo_tick_* are absolute tick indices.
+        Returns (x (K,s), v_body (K,3), q (K,4)); advances T by K."""
+        if self._carry is None:
+            raise RuntimeError("call initialize() before update_block()")
+        a = lambda v: jnp.asarray(v, self.dtype)
+        K, S = np.asarray(ekf_gyro).shape[:2]
+        H = self._H
+        eva = (np.zeros((K, S), bool) if ekf_vo_active is None
+               else np.asarray(ekf_vo_active, bool))
+        evq = (np.zeros((K, S, 4)) if ekf_vo_q is None
+               else np.asarray(ekf_vo_q))
+        esb = (np.zeros((K, S), np.int64) if ekf_vo_steps_back is None
+               else np.asarray(ekf_vo_steps_back, np.int64))
+        va = (np.zeros(K, bool) if vo_active is None
+              else np.asarray(vo_active, bool))
+        vdp = (np.zeros((K, 3)) if vo_dp is None else np.asarray(vo_dp))
+        vtp = (np.zeros(K, np.int64) if vo_tick_pre is None
+               else np.asarray(vo_tick_pre, np.int64))
+        vtn = (np.zeros(K, np.int64) if vo_tick_now is None
+               else np.asarray(vo_tick_now, np.int64))
+        ticks = self.T + np.arange(K)
+        if bool((va & (ticks - vtp >= H)).any()):
+            raise ValueError(
+                f"a VO previous frame predates the {H}-tick orientation "
+                f"ring; raise history_ticks")
+
+        key = (K, S)
+        if key not in self._block_jit:
+            c = self._c
+            ec = self._ec
+            lever = self._lever
+            Hn = self._H
+
+            def block_step(carry, gyro, accel, valid, eva_, evq_, esb_,
+                           ab, ob, pf, Jf, dqv, ct, va_, vdp_, vtp_, vtn_):
+                from decentralized_ekf_mhe_tpu.ops import (
+                    ekf_lanes, lanes as lanes_ops, mhe_lanes)
+
+                def scan_step(cr, inp):
+                    ekf_st, mhe_st, ring, t = cr
+                    (g, ac, vl, ea, eq, es, ab1, ob1, pf1, Jf1, dq1, ct1,
+                     v1, dp1, tp1, tn1) = inp
+                    ekf_st = ekf_lanes.substep_block(
+                        ekf_st, g[..., None], ac[..., None], vl, ea,
+                        eq, es, ec)
+                    R_t = ekf_lanes.to_rot(ekf_st.q)      # (3,3,1)
+                    t = t + 1
+                    ring = ring.at[jnp.mod(t, Hn)].set(R_t)
+                    R_pre = ring[jnp.mod(tp1, Hn)]
+                    mhe_st, (x_T, _) = mhe_lanes.step(
+                        c, mhe_st, R_t, ab1[:, None], ob1[:, None],
+                        pf1[..., None], Jf1[..., None], dq1[..., None],
+                        ct1[..., None], v1, dp1[:, None], tp1, tn1, R_pre)
+                    v_b = lanes_ops.mv(
+                        R_t, x_T[3:6] + lanes_ops.cross(ob1[:, None],
+                                                        lever[:, None]))
+                    return (ekf_st, mhe_st, ring, t), (
+                        x_T[:, 0], v_b[:, 0], ekf_st.q[:, 0])
+
+                return jax.lax.scan(
+                    scan_step, carry,
+                    (gyro, accel, valid, eva_, evq_, esb_, ab, ob, pf, Jf,
+                     dqv, ct, va_, vdp_, vtp_, vtn_))
+
+            self._block_jit[key] = jax.jit(block_step, donate_argnums=0)
+
+        carry0 = self._carry
+        # the in-graph ring is indexed by absolute tick mod H; seed the scan
+        # tick counter from self.T - 1 (the last completed tick)
+        carry0 = (carry0[0], carry0[1], carry0[2],
+                  jnp.asarray(self.T - 1, jnp.int32))
+        self._carry, (x_seq, v_seq, q_seq) = self._block_jit[key](
+            carry0, a(ekf_gyro), a(ekf_accel), jnp.asarray(ekf_valid, bool),
+            jnp.asarray(eva), a(evq), jnp.asarray(esb, jnp.int32),
+            a(accel_b), a(omega_b), a(p_foot), a(J_foot), a(dq), a(contact),
+            jnp.asarray(va), a(vdp), jnp.asarray(vtp, jnp.int32),
+            jnp.asarray(vtn, jnp.int32))
+        self.x = x_seq[-1]
+        self.v_body = v_seq[-1]
+        self.q = q_seq[-1]
+        self.T += K
+        return x_seq, v_seq, q_seq
+
+    def reset(self):
+        self._carry = None
+        self.T = 0
+        self.x = None
+        self.v_body = None
+        self.q = None

@@ -1,13 +1,17 @@
 """Hardware-in-the-loop streaming demo: the reference's realtime loop, closed.
 
-The reference runs online: sensor callbacks mutate `robot_store` and a wall
-timer drives one estimation tick every 5 ms
+The reference runs online: the 500 Hz orientation EKF (`orien_est`,
+orien_ekf.cpp:77-105) publishes `imu/filter`, sensor callbacks mutate
+`robot_store`, and a wall timer drives one MHE tick every 5 ms
 (/root/reference/src/decentral_legged_est/src/EstSub.cpp:25,58-91). This
-driver is the TPU-native analog of that loop for replayed or live-fed data:
+driver is the TPU-native analog of that FULL cycle for replayed or live-fed
+data — the orientation EKF runs IN the loop (PipelineEstimator), consuming
+raw gyro/accel substep blocks, not ground-truth orientation:
 
   stage block k+1 on the host  ║  device computes block k
-  (native double-buffered      ║  (ONE jitted K-tick scan dispatch with a
-   BlockFeeder, dem_native.cpp)║   donated carry — facade.update_block)
+  (native double-buffered      ║  (ONE jitted K-tick scan of EKF substeps +
+   BlockFeeder, dem_native.cpp)║   MHE solve with a donated carry —
+                               ║   facade.PipelineEstimator.update_block)
 
 Aligned tick rows stream through the C++ `BlockFeeder`
 (native/dem_native.cpp: dem_feeder_*), which alternates two staging buffers
@@ -19,49 +23,63 @@ device's, not the host's.
 
 Run:  python examples/run_hil.py [--ticks 2000] [--block 20] [--no-native]
 
-Prints the sustained per-tick latency series (p50/p99) against the
-reference's 5 ms cycle budget, plus a block=1 comparison showing what
-per-tick dispatch costs without blocking.
+Prints the sustained per-tick latency series (p50/p99) of the FULL
+EKF+MHE cycle against the reference's 5 ms budget, plus a tick-at-a-time
+comparison showing what per-tick dispatch costs without blocking.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
 from decentralized_ekf_mhe_tpu import native
-from decentralized_ekf_mhe_tpu.config import EstimatorParams
+from decentralized_ekf_mhe_tpu.config import EKFParams, EstimatorParams
 from decentralized_ekf_mhe_tpu.io import synth
-from decentralized_ekf_mhe_tpu.ops.facade import DecentralizedEstimator
+from decentralized_ekf_mhe_tpu.ops import estimator
+from decentralized_ekf_mhe_tpu.ops.facade import (
+    DecentralizedEstimator, PipelineEstimator)
 
 
-def pack_rows(log) -> np.ndarray:
-    """Flatten each tick's aligned inputs into one f64 row for the feeder.
+def pack_rows(log, eb) -> np.ndarray:
+    """Flatten each tick's aligned FULL-cycle inputs into one f64 row.
 
-    Layout per tick: accel(3) omega(3) R(9) p_foot(L*3) J_foot(L*9) dq(L*3)
-    contact(L) vo_active(1) vo_dp(3) vo_tick_pre(1) vo_tick_now(1).
+    Layout per tick: ekf_gyro(S*3) ekf_accel(S*3) ekf_valid(S)
+    ekf_vo_active(S) ekf_vo_q(S*4) ekf_vo_sb(S) | accel(3) omega(3)
+    p_foot(L*3) J_foot(L*9) dq(L*3) contact(L) vo_active(1) vo_dp(3)
+    vo_tick_pre(1) vo_tick_now(1).
     """
     T = log.accel_b.shape[0]
+    f = np.float64
     parts = [
+        np.asarray(eb.gyro, f).reshape(T, -1),
+        np.asarray(eb.accel, f).reshape(T, -1),
+        np.asarray(eb.valid, f).reshape(T, -1),
+        np.asarray(eb.vo_active, f).reshape(T, -1),
+        np.asarray(eb.vo_q, f).reshape(T, -1),
+        np.asarray(eb.vo_steps_back, f).reshape(T, -1),
         log.accel_b.reshape(T, -1), log.omega_b.reshape(T, -1),
-        log.R_sb_gt.reshape(T, -1), log.p_foot.reshape(T, -1),
+        log.p_foot.reshape(T, -1),
         log.J_foot.reshape(T, -1), log.dq.reshape(T, -1),
         log.contact.reshape(T, -1),
-        np.asarray(log.vo_active, np.float64).reshape(T, 1),
+        np.asarray(log.vo_active, f).reshape(T, 1),
         log.vo_dp_body.reshape(T, -1),
-        np.asarray(log.vo_tick_pre, np.float64).reshape(T, 1),
-        np.asarray(log.vo_tick_now, np.float64).reshape(T, 1),
+        np.asarray(log.vo_tick_pre, f).reshape(T, 1),
+        np.asarray(log.vo_tick_now, f).reshape(T, 1),
     ]
     return np.ascontiguousarray(np.concatenate(parts, axis=1))
 
 
-def unpack_rows(rows: np.ndarray, L: int):
+def unpack_rows(rows: np.ndarray, L: int, S: int):
     """Inverse of pack_rows for a (K, width) block."""
     K = rows.shape[0]
     o = 0
@@ -72,9 +90,14 @@ def unpack_rows(rows: np.ndarray, L: int):
         o += n
         return out
 
+    ekf_gyro = take(3 * S, (S, 3))
+    ekf_accel = take(3 * S, (S, 3))
+    ekf_valid = take(S, (S,)).astype(bool)
+    ekf_va = take(S, (S,)).astype(bool)
+    ekf_vq = take(4 * S, (S, 4))
+    ekf_sb = take(S, (S,)).astype(np.int64)
     accel = take(3, (3,))
     omega = take(3, (3,))
-    R = take(9, (3, 3))
     p_foot = take(3 * L, (L, 3))
     J_foot = take(9 * L, (L, 3, 3))
     dq = take(3 * L, (L, 3))
@@ -83,8 +106,12 @@ def unpack_rows(rows: np.ndarray, L: int):
     vo_dp = take(3, (3,))
     vo_tick_pre = take(1, ()).astype(np.int64)
     vo_tick_now = take(1, ()).astype(np.int64)
-    return (R, accel, omega, p_foot, J_foot, dq, contact, vo_active, vo_dp,
-            vo_tick_pre, vo_tick_now)
+    return dict(
+        ekf_gyro=ekf_gyro, ekf_accel=ekf_accel, ekf_valid=ekf_valid,
+        accel_b=accel, omega_b=omega, p_foot=p_foot, J_foot=J_foot, dq=dq,
+        contact=contact, ekf_vo_active=ekf_va, ekf_vo_q=ekf_vq,
+        ekf_vo_steps_back=ekf_sb, vo_active=vo_active, vo_dp=vo_dp,
+        vo_tick_pre=vo_tick_pre, vo_tick_now=vo_tick_now)
 
 
 class NumpyFeeder:
@@ -116,26 +143,35 @@ def main(argv=None):
 
     p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=20,
                         foot_swing_std=[1e7] * 3)
+    ekf_p = EKFParams()
     L = p.num_legs
     log = synth.generate(synth.SynthConfig(T=args.ticks, seed=0))
-    rows = pack_rows(log)
+    eb = estimator.ekfblocks_from_log(log)
+    S = int(np.asarray(eb.gyro).shape[1])
+    rows = pack_rows(log, eb)
 
     use_native = native.available() and not args.no_native
     feeder_cls = "native BlockFeeder" if use_native else "numpy feeder"
     feeder = (native.BlockFeeder(rows[1:], args.block) if use_native
               else NumpyFeeder(rows[1:], args.block))
-    print(f"streaming {args.ticks} ticks in blocks of {args.block} "
-          f"via {feeder_cls} on {jax.devices()[0]}", file=sys.stderr)
+    print(f"streaming {args.ticks} FULL EKF+MHE cycles in blocks of "
+          f"{args.block} via {feeder_cls} on {jax.devices()[0]}",
+          file=sys.stderr)
 
-    est = DecentralizedEstimator(p, dtype=jnp.float32)
-    est.initialize(log.R_sb_gt[0], log.accel_b[0], log.omega_b[0],
-                   log.p_foot[0], log.J_foot[0], log.dq[0], log.contact[0])
+    est = PipelineEstimator(p, ekf_p, dtype=jnp.float32)
+    g0 = np.asarray(eb.gyro[0]); a0 = np.asarray(eb.accel[0])
+    est.initialize(g0, a0, np.asarray(eb.valid[0]),
+                   log.accel_b[0], log.omega_b[0], log.p_foot[0],
+                   log.J_foot[0], log.dq[0], log.contact[0],
+                   ekf_vo_active=np.asarray(eb.vo_active[0]),
+                   ekf_vo_q=np.asarray(eb.vo_q[0]),
+                   ekf_vo_steps_back=np.asarray(eb.vo_steps_back[0]))
 
     n_blocks = (args.ticks - 1) // args.block
-    # warm the K-tick jit before timing
+    # warm the (K,S) jit before timing
     blk, n_valid = feeder.next()
-    fields = unpack_rows(blk[:n_valid], L)
-    x, v = est.update_block(*fields)
+    fields = unpack_rows(blk[:n_valid], L, S)
+    x, v, q = est.update_block(**fields)
     jax.block_until_ready(x)
 
     lat = []
@@ -144,18 +180,25 @@ def main(argv=None):
         t0 = time.time()
         # device computes the PREVIOUS dispatch while we stage this block
         blk, n_valid = feeder.next()
-        fields = unpack_rows(blk[:n_valid], L)
-        x, v = est.update_block(*fields)
+        fields = unpack_rows(blk[:n_valid], L, S)
+        x, v, q = est.update_block(**fields)
         float(jnp.sum(x))            # fence: device -> host
         lat.append((time.time() - t0) / n_valid)
         done += n_valid
     lat_ms = np.asarray(lat) * 1e3
-    print(f"sustained per-tick latency over {done} ticks: "
+    print(f"sustained per-tick latency over {done} FULL cycles (EKF "
+          f"substeps + MHE solve each): "
           f"p50 {np.percentile(lat_ms, 50):.3f} ms, "
           f"p99 {np.percentile(lat_ms, 99):.3f} ms "
           f"(reference cycle budget: 5 ms)", file=sys.stderr)
 
-    # block=1 comparison: what tick-at-a-time dispatch costs
+    # sanity: the streamed estimate tracks ground truth (spatial velocity)
+    v_err = (np.asarray(x[-1][3:6])
+             - log.gt_v_s[min(done - 1, args.ticks - 1)])
+    print(f"final-tick velocity error vs GT: {np.abs(v_err).max():.4f} m/s",
+          file=sys.stderr)
+
+    # tick-at-a-time comparison: what per-tick dispatch costs (MHE facade)
     est2 = DecentralizedEstimator(p, dtype=jnp.float32)
     est2.initialize(log.R_sb_gt[0], log.accel_b[0], log.omega_b[0],
                     log.p_foot[0], log.J_foot[0], log.dq[0], log.contact[0])
