@@ -408,7 +408,8 @@ def sharded_fleet_runner(params: EstimatorParams, mesh, dtype=jnp.float32,
 def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
                             dtype=jnp.float32, use_pallas=True,
                             ekf_ring_len: int = 16,
-                            per_lane_vo_q: bool = False, consts=None):
+                            per_lane_vo_q: bool = False, consts=None,
+                            per_instance_vo: bool = False):
     """shard_map the full EKF+MHE pipeline fleet over the mesh — the
     production multi-chip path (config 5): instances sharded over all mesh
     axes, per-shard lanes-layout pipeline scan, fleet statistics psum-reduced
@@ -422,6 +423,10 @@ def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
     Pass ``consts`` with x_lb/x_ub for the CONSTRAINED multi-chip pipeline
     (MheSrb.cpp:272-349 per-tick solve, sharded). (s,B) per-lane bounds must
     be sized to the PER-SHARD fleet (B/n_devices).
+
+    ``per_instance_vo=True`` shards a fully per-instance VO schedule (active
+    (T,B), dp_body (T,3,B), ticks (T,B)) over the instance axis — each shard
+    runs the per-instance lanes path on its own lanes' camera clocks.
     """
     shard_map = jax.shard_map
 
@@ -451,13 +456,16 @@ def sharded_pipeline_runner(params: EstimatorParams, ekf_params, mesh,
     # per-lane measured-VO quaternions ((T,S,4,B) Monte-Carlo vision draws)
     # shard over the instance axis like the other lanes tensors
     vo_q_spec = P(None, None, None, axes) if per_lane_vo_q else repl
+    vo_specs = (estimator.VOData(P(None, axes), P(None, None, axes),
+                                 P(None, axes), P(None, axes))
+                if per_instance_vo else estimator.VOData(*([repl] * 4)))
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(
             estimator.TickData(*([data_spec] * 7)),
             estimator.EKFBlocks(lanes_spec, lanes_spec, repl, repl,
                                 vo_q_spec, repl),
-            estimator.VOData(*([repl] * 4)),
+            vo_specs,
             repl,
         ),
         out_specs=(data_spec, P(axes), repl, repl),

@@ -119,3 +119,85 @@ def test_sharded_pipeline_per_lane_vo_q(setup):
                         vo_q=jax.device_put(eb.vo_q, lanes_sh))
     x_sh, rmse, fleet_mean, fleet_max = runner(db_sh, eb_sh, vo, gt_v)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=2e-5)
+
+
+def test_sharded_constrained_fleet_matches_single_device(setup):
+    """8-way sharded CONSTRAINED fleet (box-ADMM window solves, warm-start
+    carry) == the unsharded constrained run (VERDICT r04 #10)."""
+    from decentralized_ekf_mhe_tpu.ops import mhe
+
+    p, log, data, vo = setup
+    B = 16
+    db = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, jax.random.PRNGKey(0), p))
+    gt_v = jnp.asarray(log.gt_v_s, jnp.float32)
+    s = p.dim_state
+    x_lb = np.full(s, -np.inf); x_lb[3:6] = -0.1
+    x_ub = np.full(s, np.inf); x_ub[3:6] = 0.1
+    c = mhe.make_consts(p, jnp.float32, x_lb=x_lb, x_ub=x_ub, admm_iters=15)
+
+    x_ref, _ = jax.jit(batch_lib.make_fused_batched_runner(
+        p, jnp.float32, use_pallas=False))(db, vo)
+    # unsharded constrained oracle (standard layout, same consts)
+    from decentralized_ekf_mhe_tpu.ops import estimator as est_mod
+    x_con_ref, _ = jax.jit(lambda d, v: est_mod.run_mhe(
+        p, d, vo=v, dtype=jnp.float32, consts=c))(db, vo)
+
+    mesh = mesh_lib.make_mesh()
+    runner = batch_lib.sharded_fleet_runner(p, mesh, jnp.float32,
+                                            use_pallas=False, consts=c)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    db_sh = jax.device_put(db, NamedSharding(mesh, P(None, ("data", "model"))))
+    x_sh, rmse, fleet_mean, fleet_max = runner(db_sh, vo, gt_v)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_con_ref),
+                               atol=2e-5)
+    # the box binds (sharded result differs from the unconstrained one and
+    # respects the bound)
+    v_sh = np.abs(np.asarray(x_sh[..., 3:6]))
+    assert (v_sh <= 0.1 + 1e-3).all()
+    assert np.abs(np.asarray(x_sh) - np.asarray(x_ref)).max() > 1e-3
+
+
+def test_sharded_pipeline_per_instance_vo(setup):
+    """8-way sharded pipeline with a FULLY PER-INSTANCE VO schedule (timing
+    AND content sharded over instances) == the unsharded per-instance run."""
+    from decentralized_ekf_mhe_tpu.config import EKFParams
+
+    p, log, data, vo = setup
+    B = 16
+    ekf_p = EKFParams()
+    db = batch_lib.to_time_leading(
+        batch_lib.perturb_log_batch(data, B, jax.random.PRNGKey(0), p))
+    eb = batch_lib.perturb_ekf_blocks(
+        estimator.ekfblocks_from_log(log, dtype=jnp.float32), B,
+        jax.random.PRNGKey(1), p)
+    vo_pi = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(2), p,
+                                       per_instance_timing=True)
+    assert vo_pi.active.ndim == 2
+    gt_v = jnp.asarray(log.gt_v_s, jnp.float32)
+
+    x_ref, _, _ = jax.jit(batch_lib.make_pipeline_fleet_runner(
+        p, ekf_p, jnp.float32, use_pallas=False))(db, eb, vo_pi)
+
+    mesh = mesh_lib.make_mesh()
+    runner = batch_lib.sharded_pipeline_runner(
+        p, ekf_p, mesh, jnp.float32, use_pallas=False, ekf_ring_len=16,
+        per_instance_vo=True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = ("data", "model")
+    db_sh = jax.device_put(db, NamedSharding(mesh, P(None, axes)))
+    lanes_sh = NamedSharding(mesh, P(None, None, None, axes))
+    eb_sh = eb._replace(gyro=jax.device_put(eb.gyro, lanes_sh),
+                        accel=jax.device_put(eb.accel, lanes_sh))
+    vo_sh = estimator.VOData(
+        active=jax.device_put(vo_pi.active, NamedSharding(mesh, P(None, axes))),
+        dp_body=jax.device_put(vo_pi.dp_body,
+                               NamedSharding(mesh, P(None, None, axes))),
+        tick_pre=jax.device_put(vo_pi.tick_pre,
+                                NamedSharding(mesh, P(None, axes))),
+        tick_now=jax.device_put(vo_pi.tick_now,
+                                NamedSharding(mesh, P(None, axes))))
+    x_sh, rmse, fleet_mean, fleet_max = runner(db_sh, eb_sh, vo_sh, gt_v)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=2e-5)
