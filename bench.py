@@ -35,7 +35,12 @@ import time
 
 import numpy as np
 
-T = 200
+# Log length for the timed fleets. The axon tunnel charges a flat ~25-30 ms
+# RTT per device round-trip; at T=200 that RTT was HALF the measured wall
+# (profiler trace: 23.5 ms device-busy vs 50.8 ms wall), so rates were 2x
+# underclaimed. T=2000 amortizes the RTT to <10% — same per-tick work, same
+# accuracy gates, honest throughput. (r01-r04 used T=200.)
+T = int(os.environ.get("BENCH_T", "2000"))
 SKIP = 100  # RMSE warmup skip (ticks)
 
 

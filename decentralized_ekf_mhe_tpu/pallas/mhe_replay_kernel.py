@@ -369,7 +369,7 @@ def _bezier_node(pts, u):
 
 
 def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
-                 admm_ks=None):
+                 admm_ks=None, ablate: str = ""):
     """``per_instance=True`` compiles the PER-INSTANCE-VO variant: the VO
     event metadata (active/tick_pre/tick_now) and the Bezier schedule
     (times/count) carry a lane axis, and the ingestion block runs fully
@@ -381,7 +381,13 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
     variant: per-lane bounds arrive as (s, Bt) operands, the warm-start
     iterates (z, y) ride two extra ring-carried state tensors, and each
     tick's window solve is the full in-VMEM box-ADMM instead of the
-    streaming Thomas sweep."""
+    streaming Thomas sweep.
+
+    ``ablate`` (TIMING DIAGNOSTICS ONLY — output is wrong by construction)
+    skips one stage so measured deltas attribute per-stage cycles
+    (tools/roofline.py --ablate): 'ingest' (VO), 'marg' (arrival cost),
+    'build' (dynamics/measurement congruences), 'solve' (the Thomas
+    inverse chain; assembly kept live), 'assembly' (the whole j-loop)."""
     N, s, m, L = kc.N, kc.s, kc.m, kc.L
     H, P = kc.A_meas, kc.P_cam
     dt = kc.dt
@@ -401,7 +407,7 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
         if constrained:
             lb_ref, ub_ref = refs[k:k + 2]
             k += 2
-        n_state = 17 if constrained else 15
+        n_state = 20 if constrained else 18
         state_in = refs[k:k + n_state]
         k += n_state
         x_ref = refs[k]
@@ -411,9 +417,15 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
         bez_times_o, bez_count_o = refs[k:k + 2]
         (y_meas_o, Q_meas_o, A_dyn_o, b_dyn_o, Q_dyn_o, b_cam_o, Q_cam_o,
          cam_act_o, M_p_o, n_p_o, bez_pts_o, p_accum_o, prev_R_o,
-         prev_acc_o, prev_ct_o) = state_out[:15]
+         prev_acc_o, prev_ct_o,
+         # incremental assembly caches (MheSrb.cpp:351-447 updateQP, the
+         # ring way): per-slot cam-free normal-equation pieces, updated
+         # only for the two slots that change per tick —
+         #   Dslot[p] = HᵀR_p H + A_pᵀQd_p A_p;  Ub[p] = −A_pᵀQd_p;
+         #   routb[p] = HᵀR_p y_p + A_pᵀQd_p b_p
+         Dslot_o, Ub_o, routb_o) = state_out[:18]
         if constrained:
-            z_adm_o, y_adm_o = state_out[15:17]
+            z_adm_o, y_adm_o = state_out[18:20]
 
         # copy the incoming state into the output refs once; the tick loop
         # then mutates the output refs in place (state lives in VMEM for the
@@ -435,7 +447,9 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
             base_old = jax.lax.rem(t - 1, jnp.asarray(N, t.dtype))
             base_new = jax.lax.rem(t, jnp.asarray(N, t.dtype))
 
-            if per_instance:
+            if ablate == "ingest":
+                pass
+            elif per_instance:
                 # ---- per-lane VO ingestion (_apply_vo_per_instance) ----
                 # fully masked — every lane follows its own camera clock;
                 # vo_inc is pre-zeroed on inactive lanes by the host
@@ -547,7 +561,7 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
                         node_prev = node_k
 
             # ---- marginalization (mhe_lanes._marginalize) --------------
-            @pl.when(t >= N)
+            @pl.when((t >= N) & (ablate != "marg"))
             def _():
                 p0 = base_old
                 A = A_dyn_o[p0]
@@ -586,15 +600,24 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
             dq_t = dq_ref[i]
             contact_t = contact_ref[i]
 
-            A_d, b_d, Q_d = _build_dynamics(
-                kc, prev_R_o[:, :, :], prev_acc_o[:, :], prev_ct_o[:, :],
-                dtype,
-            )
-            Q_cam_new = _matmul_nt(_mmc(prev_R_o[:, :, :], kc.Q_vo_p),
-                                   prev_R_o[:, :, :])
-            y_T, Q_T = _build_measurement(
-                kc, R_t, omega_t, pfoot_t, Jfoot_t, dq_t, contact_t, dtype
-            )
+            if ablate == "build":
+                Bt = R_t.shape[-1]
+                A_d = jnp.zeros((s, s, Bt), dtype)
+                b_d = jnp.zeros((s, Bt), dtype)
+                Q_d = jnp.zeros((s, s, Bt), dtype)
+                Q_cam_new = jnp.zeros((3, 3, Bt), dtype)
+                y_T = jnp.zeros((m, Bt), dtype)
+                Q_T = jnp.zeros((m, m, Bt), dtype)
+            else:
+                A_d, b_d, Q_d = _build_dynamics(
+                    kc, prev_R_o[:, :, :], prev_acc_o[:, :], prev_ct_o[:, :],
+                    dtype,
+                )
+                Q_cam_new = _matmul_nt(_mmc(prev_R_o[:, :, :], kc.Q_vo_p),
+                                       prev_R_o[:, :, :])
+                y_T, Q_T = _build_measurement(
+                    kc, R_t, omega_t, pfoot_t, Jfoot_t, dq_t, contact_t, dtype
+                )
 
             pN1 = base_old                     # physical slot of logical N-1
             pN2 = jax.lax.rem(base_old + N - 1, jnp.asarray(N, t.dtype))   # logical N-2 post-shift
@@ -613,6 +636,19 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
             b_cam_o[pN2] = jnp.zeros_like(b_cam_o[pN2])
             cam_act_o[pN2] = jnp.zeros_like(cam_act_o[pN2])
 
+            # incremental assembly-cache update: only these two slots'
+            # cam-free pieces changed this tick (fresh measurement at pN1,
+            # fresh dynamics at pN2 whose measurement terms were cached when
+            # it was the pN1 of the previous tick)
+            HtR_n = _cmm_t(H, Q_T)
+            Dslot_o[pN1] = _mmc(HtR_n, H)
+            Ub_o[pN1] = jnp.zeros_like(Ub_o[pN1])
+            routb_o[pN1] = _matvec(HtR_n, y_T)
+            AtQd_n = _matmul_tn(A_d, Q_d)
+            Dslot_o[pN2] = Dslot_o[pN2] + _matmul(AtQd_n, A_d)
+            Ub_o[pN2] = -AtQd_n
+            routb_o[pN2] = routb_o[pN2] + _matvec(AtQd_n, b_d)
+
             prev_R_o[:, :, :] = R_t
             prev_acc_o[:, :] = _add_const_vec(_matvec(R_t, accel_t), kc.gravity)
             prev_ct_o[:, :] = contact_t
@@ -630,40 +666,40 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
             first = N - n_states
             eye_s = _const_mat(np.eye(s), M_p_o[0, 0])
 
+            if ablate == "assembly":
+                x_ref[i] = n_p_o[:, :]
+                return 0
             Sinv = None
             yv = None
             U_prev = None
             prev_QdPP = None
             prev_rin = None
+            abl_acc = None
             Ds, Us, rs, z0s, y0s = [], [], [], [], []
             for j in range(N):
                 pj = jax.lax.rem(base_new + j, jnp.asarray(N, t.dtype))
                 valid = j >= first
                 iv = valid & (j <= N - 2)
-                A_j = A_dyn_o[pj]
+                # cam-free pieces come from the incremental caches (their
+                # masking is implicit: pN1/dead slots hold zeroed data, so
+                # the cached AᵀQd/Ub/routb terms vanish exactly where the
+                # explicit iv masks used to apply); the CHEAP cam terms
+                # (P_cam is a 3-row selector — a handful of picks) are
+                # recomputed inline because VO events mutate them mid-window
                 Qd_j = Q_dyn_o[pj]
                 b_j = b_dyn_o[pj]
-                Rm_j = Q_meas_o[pj]
-                ym_j = y_meas_o[pj]
                 Qc_j = Q_cam_o[pj]
                 c0_j = b_cam_o[pj]
                 act_j = jnp.where(iv, cam_act_o[pj], 0.0)[None, None, :]
 
-                AtQd = _matmul_tn(A_j, Qd_j)
-                AtQd = jnp.where(iv, AtQd, jnp.zeros_like(AtQd))
-                AtQdA = _matmul(AtQd, A_j)
                 PtQc = act_j * _cmm_t(P, Qc_j)
                 PtQcP = _mmc(PtQc, P)
-                HtR = _cmm_t(H, Rm_j)
-                HtRH = _mmc(HtR, H)
                 Qd_m = jnp.where(iv, Qd_j, jnp.zeros_like(Qd_j))
                 Qd_b = _matvec(Qd_m, b_j)
-                AtQd_b = _matvec(AtQd, b_j)
                 PtQc_c = _matvec(PtQc, c0_j)
-                HtR_y = _matvec(HtR, ym_j)
 
-                D_j = HtRH + AtQdA + PtQcP
-                r_j = HtR_y + AtQd_b + PtQc_c
+                D_j = Dslot_o[pj] + PtQcP
+                r_j = routb_o[pj] + PtQc_c
                 if j > 0:
                     D_j = D_j + prev_QdPP
                     r_j = r_j - prev_rin
@@ -675,7 +711,7 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
 
                 D_j = jnp.where(valid, D_j, eye_s)
                 r_j = jnp.where(valid, r_j, jnp.zeros_like(r_j))
-                U_j = -(AtQd + PtQcP)
+                U_j = Ub_o[pj] - PtQcP
                 U_j = jnp.where(iv & ((j + 1) >= first), U_j,
                                 jnp.zeros_like(U_j))
 
@@ -688,6 +724,13 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
                         Us.append(U_j)
                     z0s.append(z_adm_o[pj])
                     y0s.append(y_adm_o[pj])
+                    continue
+
+                if ablate == "solve":
+                    # keep the assembled system live so Mosaic cannot DCE
+                    # the assembly work, but skip the inverse chain
+                    term = D_j[:, 0, :] + r_j + U_j[:, 0, :]
+                    abl_acc = term if abl_acc is None else abl_acc + term
                     continue
 
                 # forward Thomas step — only the newest state x_{N-1} is
@@ -703,6 +746,9 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
                     Sinv = _gj_inv(S_j)
                 U_prev = U_j
 
+            if ablate == "solve":
+                x_ref[i] = abl_acc
+                return 0
             if constrained:
                 # ---- whole-window box-ADMM (admm_core) -----------------
                 from decentralized_ekf_mhe_tpu.pallas import admm_core
@@ -729,14 +775,25 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
 # -------------------------------------------------------------- host side
 
 
-def _state_to_arrays(st, constrained=False):
-    """mhe_lanes.MHEStateL -> kernel state tuple (lanes layout, f32-ready)."""
+def _state_to_arrays(st, c, constrained=False):
+    """mhe_lanes.MHEStateL -> kernel state tuple (lanes layout, f32-ready),
+    including the incremental assembly caches (computed here from whatever
+    state is handed in, so resumed states work too)."""
+    from decentralized_ekf_mhe_tpu.ops import lanes
+
     pts = jnp.moveaxis(st.bez.pts, 0, -1)        # (B,4,3) -> (4,3,B)
     p_accum = jnp.moveaxis(st.bez.p_accum, 0, -1)  # (B,3) -> (3,B)
+    H = jnp.asarray(c.A_meas, st.y_meas.dtype)
+    HtR = lanes.cmm_t(H, st.Q_meas)              # (N,s,m,B)
+    AtQd = lanes.mm_tn(st.A_dyn, st.Q_dyn)       # (N,s,s,B)
+    Dslot = lanes.mmc(HtR, H) + lanes.mm(AtQd, st.A_dyn)
+    Ub = -AtQd
+    routb = lanes.mv(HtR, st.y_meas) + lanes.mv(AtQd, st.b_dyn)
     base = (
         st.y_meas, st.Q_meas, st.A_dyn, st.b_dyn, st.Q_dyn, st.b_cam,
         st.Q_cam, st.cam_active.astype(st.y_meas.dtype), st.M_p, st.n_p,
         pts, p_accum, st.prev_R, st.prev_accel_s, st.prev_contact,
+        Dslot, Ub, routb,
     )
     if constrained:
         return base + (st.z_adm, st.y_adm)
@@ -745,7 +802,7 @@ def _state_to_arrays(st, constrained=False):
 
 def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
                   tensors, state, interpret=False, per_instance=False,
-                  admm_ks=None, bounds=None):
+                  admm_ks=None, bounds=None, ablate=""):
     """One pallas_call over a chunk of Tc ticks. Returns (x, state').
 
     With ``per_instance`` the vo metadata and Bezier schedule carry the lane
@@ -777,6 +834,7 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     state_shapes = [
         (N, m), (N, m, m), (N, s, s), (N, s), (N, s, s), (N, 3),
         (N, 3, 3), (N,), (s, s), (s,), (4, 3), (3,), (3, 3), (3,), (L,),
+        (N, s, s), (N, s, s), (N, s),          # Dslot, Ub, routb caches
     ]
     if constrained:
         state_shapes += [(N, s), (N, s)]
@@ -812,7 +870,7 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     )
 
     kernel = _make_kernel(kc, Tc, dtype, per_instance=per_instance,
-                          admm_ks=admm_ks)
+                          admm_ks=admm_ks, ablate=ablate)
     # alias the window-state inputs onto the matching state outputs
     # (positions 1..n_state): the state enters/leaves HBM once per chunk
     # with no extra copy; the scalar SMEM carries are copied (tiny)
@@ -846,7 +904,8 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     return x, new_state, new_scalars
 
 
-def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
+def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
+           ablate=""):
     """Full-log fleet MHE replay through the mega-kernel.
 
     Args:
@@ -892,7 +951,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
             # per-lane bounds ride the same last-instance-repeat padding
             c_p = c._replace(x_lb=pad_lane(c.x_lb), x_ub=pad_lane(c.x_ub))
         return replay(c_p, data_p, vo_p, dtype=dtype, chunk=chunk,
-                      interpret=interpret)[..., :B]
+                      interpret=interpret, ablate=ablate)[..., :B]
 
     admm_ks = None
     bounds = None
@@ -926,7 +985,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         dp[:, :, None] if dp.ndim == 2 else dp, (T_total, 3, B))
     vo_inc = lanes.mv(R_pre, dp_l) * act_l
 
-    state = _state_to_arrays(st0, constrained=constrained)
+    state = _state_to_arrays(st0, c, constrained=constrained)
     if per_instance:
         # per-instance Bezier schedule: times (B,4) -> (4,B), count (B,)->(1,B)
         bez_scalars = (jnp.moveaxis(st0.bez.times, 0, -1).astype(dtype),
@@ -967,7 +1026,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
             x, state, bez_scalars = _replay_chunk(
                 kc, chunk, t0, vm, bez_scalars, tn, state,
                 interpret=interpret, per_instance=per_instance,
-                admm_ks=admm_ks, bounds=bounds,
+                admm_ks=admm_ks, bounds=bounds, ablate=ablate,
             )
             return (state, bez_scalars), x
 
@@ -981,7 +1040,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False):
         x, state, bez_scalars = _replay_chunk(
             kc, Tc, t, vo_meta, bez_scalars, tensors, state,
             interpret=interpret, per_instance=per_instance,
-            admm_ks=admm_ks, bounds=bounds,
+            admm_ks=admm_ks, bounds=bounds, ablate=ablate,
         )
         xs.append(x)
         t += Tc

@@ -204,7 +204,7 @@ def test_megakernel_constrained_per_lane_bounds_f64():
         data)
     data_l = batch_lib.tickdata_to_lanes(data_b)
     s = p.dim_state
-    bnds = np.linspace(0.15, 0.45, B)
+    bnds = np.linspace(0.05, 0.12, B)
     lb_B = np.full((s, B), -np.inf); ub_B = np.full((s, B), np.inf)
     lb_B[3:6] = -bnds; ub_B[3:6] = bnds
     c_pl = mhe.make_consts(p, dtype, x_lb=lb_B, x_ub=ub_B, admm_iters=40)

@@ -43,25 +43,32 @@ def _matvec_flops(s: int) -> float:
 
 
 def tick_model(N=20, s=9, m=12, L=4, chunk=64, dtype_bytes=4):
-    """FLOPs and HBM bytes for ONE tick of ONE lane in the mega-kernel."""
+    """FLOPs and HBM bytes for ONE tick of ONE lane in the mega-kernel
+    (r05: incremental assembly caches — the per-slot AᵀQd/AᵀQdA/HᵀRH terms
+    are ring-cached and only the two changed slots are recomputed per tick;
+    validated by measured ablation, tools/roofline.py --ablate)."""
     # ---- window solve (forward Thomas only — backward sweep elided) -----
     solve = N * (_gj_inv_flops(s) + _matmul_flops(s) + _matmul_flops(s)
                  + 3 * _matvec_flops(s))
-    # normal-equation assembly per slot: AtQd, AtQdA (s^3 each), HtR/HtRH
-    # (zero-skipped selector: ~2*s*m*s), PtQc terms (~2*3*s*3), matvecs
-    assemble = N * (2 * _matmul_flops(s) + 2 * 2 * s * m * s
-                    + 4 * 2 * 3 * s * 3 + 6 * _matvec_flops(s))
+    # cache UPDATE per tick: fresh slot's HtR/HtRH (zero-skipped selector)
+    # + new-dynamics slot's AtQd/AtQdA + rhs matvecs
+    cache_upd = (2 * _matmul_flops(s) + 2 * 2 * s * m * s
+                 + 2 * _matvec_flops(s))
+    # per-slot residual work in the solve loop: cam selector picks (~tiny),
+    # Qd_b matvec, and (s,s) adds/masks
+    assemble = N * (_matvec_flops(s) + 4 * 2 * 3 * s + 4 * s * s)
     # ---- marginalization: one Schur complement at (s,s) -----------------
     marg = (_gj_inv_flops(s) + 4 * _matmul_flops(s) + 6 * _matvec_flops(s))
     # ---- dynamics/measurement build: R-congruences, 3x3 inverses --------
     build = (L + 4) * (2 * _matmul_flops(3) * 3 + 60) + _gj_inv_flops(6)
-    flops = solve + assemble + marg + build
+    flops = solve + cache_upd + assemble + marg + build
 
     # ---- HBM traffic ----------------------------------------------------
     inputs = (9 + 3 + 3 + 3 * L + 9 * L + 3 * L + L + 3) * dtype_bytes
     out_x = s * dtype_bytes
     state_floats = (N * m + N * m * m + 2 * N * s * s + N * s + N * 3
-                    + N * 9 + N + s * s + s + 12 + 3 + 9 + 3 + L)
+                    + N * 9 + N + s * s + s + 12 + 3 + 9 + 3 + L
+                    + 2 * N * s * s + N * s)   # assembly caches
     state_amortized = 2 * state_floats * dtype_bytes / chunk
     bytes_per_tick = inputs + out_x + state_amortized
     return {
@@ -142,9 +149,150 @@ def chunk_sweep(B=1024, T=200, chunks=(16, 32, 64, 128, 200)):
     return results
 
 
+def _bench_fleet(B, T):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+    from decentralized_ekf_mhe_tpu.io import synth
+    from decentralized_ekf_mhe_tpu.ops import estimator
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+
+    from bench import _params
+
+    params = _params()
+    log = synth.generate(synth.SynthConfig(T=T, seed=0))
+    data = estimator.tickdata_from_log(log, dtype=jnp.float32)
+    vo = estimator.vodata_from_log(log, dtype=jnp.float32)
+    data_b = batch_lib.to_time_leading(batch_lib.perturb_log_batch(
+        data, B, jax.random.PRNGKey(0), params, dtype=jnp.float32))
+    return params, data_b, vo
+
+
+def trace_capture(B=1024, T=200, chunk=64, outdir="/tmp/dem_trace"):
+    """Measured validation of the analytic model (VERDICT r04 #9): capture a
+    jax.profiler trace of the mega-kernel fleet replay, parse the xplane
+    with jax.profiler.ProfileData, and report per-op device time — the
+    measured share of wall time inside the Pallas kernel (vs gaps/XLA glue)
+    and the kernel's achieved occupancy."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    params, data_b, vo = _bench_fleet(B, T)
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+
+    fn = jax.jit(batch_lib.make_lanes_fleet_runner(
+        params, jnp.float32, use_megakernel=True, megakernel_chunk=chunk))
+    x, _ = fn(data_b, vo)                      # compile outside the trace
+    float(jnp.sum(x[-1]))
+    t0 = time.time()
+    with jax.profiler.trace(outdir):
+        db = data_b._replace(accel_b=data_b.accel_b + 1e-7)
+        x, _ = fn(db, vo)
+        float(jnp.sum(x[-1]))
+    wall = time.time() - t0
+
+    import glob
+    import gzip
+
+    files = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not files:
+        print("no xplane capture found (tracing unsupported on this "
+              "backend?)", file=sys.stderr)
+        return None
+    data = open(files[-1], "rb").read()
+    try:
+        pd = jax.profiler.ProfileData.from_serialized_xspace(data)
+    except Exception:
+        pd = jax.profiler.ProfileData.from_file(files[-1])
+    per_op = {}
+    dev_planes = []
+    for plane in pd.planes:
+        if "TPU" in plane.name or "Device" in plane.name:
+            dev_planes.append(plane.name)
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev.name
+                    dur = ev.duration_ns
+                    per_op[name] = per_op.get(name, 0.0) + dur
+    if not per_op:
+        print(f"no device events found; planes = "
+              f"{[p.name for p in pd.planes]}", file=sys.stderr)
+        return None
+    total = sum(per_op.values())
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:8]
+    print(f"trace: wall {wall*1e3:.1f} ms, device planes {dev_planes}, "
+          f"total device-event time {total/1e6:.1f} ms", file=sys.stderr)
+    for name, dur in top:
+        print(f"  {dur/1e6:8.2f} ms  {100*dur/total:5.1f}%  {name[:90]}",
+              file=sys.stderr)
+    rate = B * (T - 1) / wall
+    kern = sum(d for n, d in per_op.items()
+               if "fusion" in n or "custom" in n.lower() or "mhe" in n.lower()
+               or "wrapped" in n.lower())
+    print(f"  -> measured rate this step {rate:,.0f} ticks/s; kernel-ish "
+          f"events {kern/1e6:.1f} ms = {100*kern/max(total,1):.0f}% of "
+          f"device time", file=sys.stderr)
+    return {"wall_s": wall, "per_op_ms": {n: d / 1e6 for n, d in top}}
+
+
+def ablation(B=1024, T=200, chunk=64):
+    """Per-stage cycle attribution by measured ablation deltas: re-time the
+    mega-kernel with one stage skipped (pallas/mhe_replay_kernel.py
+    ``ablate``); full-minus-ablated ≈ that stage's share. Output of ablated
+    kernels is wrong by construction — timing only."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    params, data_b, vo = _bench_fleet(B, T)
+    from decentralized_ekf_mhe_tpu.ops import mhe
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+    from decentralized_ekf_mhe_tpu.pallas import mhe_replay_kernel as mrk
+
+    c = mhe.make_consts(params, jnp.float32)
+    data_l = batch_lib.tickdata_to_lanes(data_b)
+
+    def timeit(ablate):
+        fn = jax.jit(lambda d, v: mrk.replay(c, d, v, dtype=jnp.float32,
+                                             chunk=chunk, ablate=ablate))
+        x = fn(data_l, vo)
+        float(jnp.sum(x[-1]))
+        best = float("inf")
+        for rep in range(3):
+            db = data_l._replace(accel_b=data_l.accel_b + (rep + 1) * 1e-7)
+            t0 = time.time()
+            x = fn(db, vo)
+            float(jnp.sum(x[-1]))
+            best = min(best, time.time() - t0)
+        return best
+
+    full = timeit("")
+    print(f"ablation (B={B}, T={T}, chunk={chunk}): full "
+          f"{full*1e3:.1f} ms -> {B*(T-1)/full:,.0f} ticks/s",
+          file=sys.stderr)
+    shares = {}
+    for stage in ("solve", "assembly", "marg", "build", "ingest"):
+        t = timeit(stage)
+        shares[stage] = (full - t) / full
+        print(f"  minus {stage:9s}: {t*1e3:7.1f} ms  -> stage share "
+              f"{100*shares[stage]:5.1f}% of the tick", file=sys.stderr)
+    ranked = sorted(shares.items(), key=lambda kv: -kv[1])
+    print(f"  top cycle sinks: "
+          + ", ".join(f"{n} {100*v:.0f}%" for n, v in ranked[:3]),
+          file=sys.stderr)
+    return shares
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--ablate", action="store_true")
     ap.add_argument("--B", type=int, default=1024)
     ap.add_argument("--T", type=int, default=200)
     ap.add_argument("--rate", type=float, default=None,
@@ -154,6 +302,10 @@ if __name__ == "__main__":
         report(a.rate)
     if a.sweep:
         chunk_sweep(B=a.B, T=a.T)
-    if not a.rate and not a.sweep:
+    if a.trace:
+        trace_capture(B=a.B, T=a.T)
+    if a.ablate:
+        ablation(B=a.B, T=a.T)
+    if not (a.rate or a.sweep or a.trace or a.ablate):
         m = tick_model()
         print(m)
