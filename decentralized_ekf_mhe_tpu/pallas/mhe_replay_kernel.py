@@ -61,10 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from decentralized_ekf_mhe_tpu.pallas.tridiag_kernel import (
     LANE_TILE,
+    _chol,
     _gj_inv,
     _matmul,
     _matmul_tn,
     _matvec_t,
+    _trsm_l,
+    _trsv_l,
+    _trsv_lt,
 )
 
 
@@ -369,7 +373,7 @@ def _bezier_node(pts, u):
 
 
 def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
-                 admm_ks=None, ablate: str = ""):
+                 admm_ks=None, ablate: str = "", mk_solve: str = "gj"):
     """``per_instance=True`` compiles the PER-INSTANCE-VO variant: the VO
     event metadata (active/tick_pre/tick_now) and the Bezier schedule
     (times/count) carry a lane axis, and the ingestion block runs fully
@@ -735,15 +739,46 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
 
                 # forward Thomas step — only the newest state x_{N-1} is
                 # consumed per tick (run_mhe_lanes uses x_window[N-1]), so
-                # the backward substitution sweep is skipped entirely
-                if j == 0:
-                    Sinv = _gj_inv(D_j)
-                    yv = r_j
+                # the backward substitution sweep is skipped entirely.
+                # mk_solve='chol': factor-and-substitute SPD chain
+                # (W = L⁻¹U, S_j = D_j − WᵀW; ~1.3s³ mults/slot vs GJ's
+                # ~4s³) — measured ~2% SLOWER on v5e (serial-dependency
+                # bound, see replay()); 'gj' is the default.
+                if mk_solve == "chol":
+                    if j == 0:
+                        Lc, rdc = _chol(D_j)
+                        yv = r_j
+                    else:
+                        W = _trsm_l(Lc, rdc, U_prev)        # rows list
+                        # S_j = D_j − WᵀW (symmetric — mirror the triangle)
+                        wtw = [[None] * s for _ in range(s)]
+                        for a_ in range(s):
+                            for b_ in range(a_, s):
+                                acc = W[0][a_] * W[0][b_]
+                                for i_ in range(1, s):
+                                    acc = acc + W[i_][a_] * W[i_][b_]
+                                wtw[a_][b_] = acc
+                                wtw[b_][a_] = acc
+                        S_j = D_j - jnp.stack(
+                            [jnp.stack(row, axis=0) for row in wtw], axis=0)
+                        z_r = _trsv_l(Lc, rdc, yv)
+                        wz = []
+                        for a_ in range(s):
+                            acc = W[0][a_] * z_r[0]
+                            for i_ in range(1, s):
+                                acc = acc + W[i_][a_] * z_r[i_]
+                            wz.append(acc)
+                        yv = r_j - jnp.stack(wz, axis=0)
+                        Lc, rdc = _chol(S_j)
                 else:
-                    W = _matmul(Sinv, U_prev)
-                    S_j = D_j - _matmul_tn(U_prev, W)
-                    yv = r_j - _matvec_t(U_prev, _matvec(Sinv, yv))
-                    Sinv = _gj_inv(S_j)
+                    if j == 0:
+                        Sinv = _gj_inv(D_j)
+                        yv = r_j
+                    else:
+                        W = _matmul(Sinv, U_prev)
+                        S_j = D_j - _matmul_tn(U_prev, W)
+                        yv = r_j - _matvec_t(U_prev, _matvec(Sinv, yv))
+                        Sinv = _gj_inv(S_j)
                 U_prev = U_j
 
             if ablate == "solve":
@@ -763,6 +798,8 @@ def _make_kernel(kc: KernelConsts, Tc: int, dtype, per_instance: bool = False,
                     z_adm_o[pj] = z_w[j]
                     y_adm_o[pj] = y_w[j]
                 x_ref[i] = x_w[N - 1]
+            elif mk_solve == "chol":
+                x_ref[i] = _trsv_lt(Lc, rdc, _trsv_l(Lc, rdc, yv))
             else:
                 x_ref[i] = _matvec(Sinv, yv)  # logical N-1 = newest state
             return 0
@@ -802,7 +839,7 @@ def _state_to_arrays(st, c, constrained=False):
 
 def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
                   tensors, state, interpret=False, per_instance=False,
-                  admm_ks=None, bounds=None, ablate=""):
+                  admm_ks=None, bounds=None, ablate="", mk_solve="chol"):
     """One pallas_call over a chunk of Tc ticks. Returns (x, state').
 
     With ``per_instance`` the vo metadata and Bezier schedule carry the lane
@@ -870,7 +907,7 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
     )
 
     kernel = _make_kernel(kc, Tc, dtype, per_instance=per_instance,
-                          admm_ks=admm_ks, ablate=ablate)
+                          admm_ks=admm_ks, ablate=ablate, mk_solve=mk_solve)
     # alias the window-state inputs onto the matching state outputs
     # (positions 1..n_state): the state enters/leaves HBM once per chunk
     # with no extra copy; the scalar SMEM carries are copied (tiny)
@@ -905,7 +942,7 @@ def _replay_chunk(kc: KernelConsts, Tc: int, t0, vo_meta, bez_scalars,
 
 
 def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
-           ablate=""):
+           ablate="", mk_solve=None):
     """Full-log fleet MHE replay through the mega-kernel.
 
     Args:
@@ -926,6 +963,19 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
     """
     from decentralized_ekf_mhe_tpu.ops import lanes, mhe_lanes
 
+    import os as _os
+
+    if mk_solve is None:
+        # 'gj' (default): explicit Gauss-Jordan Schur chain. The 'chol'
+        # factor-and-substitute variant has ~3x fewer multiplies but
+        # MEASURED ~2% SLOWER on v5e (209.2 vs 204.7 ms at T=2000/B=1024,
+        # 2026-08-21) — like the rejected reciprocal-multiply pivot
+        # (commit 47d0a3d), the solve chain is bound by its serial
+        # dependency depth, not multiply throughput; GJ's per-pivot row
+        # eliminations expose more parallel VPU work per step than
+        # triangular-solve row recurrences. Kept selectable for re-testing
+        # on future hardware.
+        mk_solve = _os.environ.get("DEM_MK_SOLVE", "gj")
     kc = consts_from_mhe(c)
     N, s = kc.N, kc.s
     T_total = data_l.accel_b.shape[0]
@@ -951,7 +1001,8 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
             # per-lane bounds ride the same last-instance-repeat padding
             c_p = c._replace(x_lb=pad_lane(c.x_lb), x_ub=pad_lane(c.x_ub))
         return replay(c_p, data_p, vo_p, dtype=dtype, chunk=chunk,
-                      interpret=interpret, ablate=ablate)[..., :B]
+                      interpret=interpret, ablate=ablate,
+                      mk_solve=mk_solve)[..., :B]
 
     admm_ks = None
     bounds = None
@@ -1027,6 +1078,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
                 kc, chunk, t0, vm, bez_scalars, tn, state,
                 interpret=interpret, per_instance=per_instance,
                 admm_ks=admm_ks, bounds=bounds, ablate=ablate,
+                mk_solve=mk_solve,
             )
             return (state, bez_scalars), x
 
@@ -1041,6 +1093,7 @@ def replay(c, data_l, vo, dtype=jnp.float32, chunk=64, interpret=False,
             kc, Tc, t, vo_meta, bez_scalars, tensors, state,
             interpret=interpret, per_instance=per_instance,
             admm_ks=admm_ks, bounds=bounds, ablate=ablate,
+            mk_solve=mk_solve,
         )
         xs.append(x)
         t += Tc

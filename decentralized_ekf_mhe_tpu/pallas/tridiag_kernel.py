@@ -88,6 +88,66 @@ def _gj_inv(A):
     return aug[:, s:, :]
 
 
+def _chol(A):
+    """Unrolled Cholesky of SPD (s,s,Bt): returns (L rows list-of-lists with
+    None above the diagonal, rd) where rd[i] = 1/L[i][i] (reciprocals reused
+    by the triangular solves — ~s³/3 mults vs the ~2s³ of _gj_inv)."""
+    s = A.shape[0]
+    L = [[None] * s for _ in range(s)]
+    rd = [None] * s
+    for k in range(s):
+        d = A[k, k]
+        for mth in range(k):
+            d = d - L[k][mth] * L[k][mth]
+        # clamp: Schur blocks are SPD in exact arithmetic; f32 roundoff on
+        # ill-conditioned blocks must not reach sqrt of a negative
+        d = jnp.sqrt(jnp.maximum(d, jnp.asarray(1e-30, A.dtype)))
+        L[k][k] = d
+        rd[k] = 1.0 / d
+        for i in range(k + 1, s):
+            e = A[i, k]
+            for mth in range(k):
+                e = e - L[i][mth] * L[k][mth]
+            L[i][k] = e * rd[k]
+    return L, rd
+
+
+def _trsm_l(L, rd, B):
+    """Solve L X = B for (s,n,Bt) B with L from _chol; returns rows list."""
+    s = len(rd)
+    X = [None] * s
+    for i in range(s):
+        acc = B[i]
+        for mth in range(i):
+            acc = acc - L[i][mth][None, :] * X[mth]
+        X[i] = acc * rd[i][None, :]
+    return X
+
+
+def _trsv_l(L, rd, b):
+    """Solve L z = b for (s,Bt) b; returns rows list."""
+    s = len(rd)
+    z = [None] * s
+    for i in range(s):
+        acc = b[i]
+        for mth in range(i):
+            acc = acc - L[i][mth] * z[mth]
+        z[i] = acc * rd[i]
+    return z
+
+
+def _trsv_lt(L, rd, z):
+    """Solve Lᵀ x = z for rows-list z; returns (s,Bt)."""
+    s = len(rd)
+    x = [None] * s
+    for i in range(s - 1, -1, -1):
+        acc = z[i]
+        for mth in range(i + 1, s):
+            acc = acc - L[mth][i] * x[mth]
+        x[i] = acc * rd[i]
+    return jnp.stack(x, axis=0)
+
+
 def _kernel(D_ref, U_ref, r_ref, x_ref, Sinv_ref, y_ref):
     N = D_ref.shape[0]
 
