@@ -275,25 +275,33 @@ def main():
               f"RMSE {rmse_mk:.4f}", file=sys.stderr)
         assert rmse_mk < 0.1
 
-        # vision-noise A/B (VERDICT r04 #4): the same compiled pipeline with
-        # the per-lane vision draws zeroed (shared camera content) — the
-        # throughput delta attributes what Monte-Carlo vision costs
-        eb0 = batch_lib.perturb_ekf_blocks(
-            estimator.ekfblocks_from_log(log, dtype=dtype), B,
-            jax.random.PRNGKey(1), params, dtype=dtype, vo_noise_scale=0.0)
-        _, w_ab, _ = timed(pipe_mk, data_b, eb0, vo, jitter=jit_data)
-        rate_ab = ticks / w_ab
-        extras["pipeline_shared_vo_ticks_per_s"] = round(rate_ab, 0)
-        extras["pipeline_vo_ab_delta_pct"] = round(
-            100.0 * (rate_ab - rate_pipe_mk) / rate_pipe_mk, 1)
-        print(f"  A/B shared-VO-content (same kernel, vo_b -> vo): "
-              f"{rate_ab:,.0f} ticks/s "
-              f"({extras['pipeline_vo_ab_delta_pct']:+.1f}% vs per-lane "
-              f"vision)", file=sys.stderr)
     except Exception as e:
         print(f"staged mega-kernel pipeline failed: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
         extras["pipeline_megakernel_ticks_per_s"] = None
+
+    # vision-noise A/B (VERDICT r04 #4): the same pipeline with the
+    # per-lane vision draws zeroed (shared camera content) — the throughput
+    # delta attributes what Monte-Carlo vision costs. Separate try: an A/B
+    # failure must not clobber the headline numbers above.
+    if on_tpu and rate_pipe_mk:
+        try:
+            eb0 = batch_lib.perturb_ekf_blocks(
+                estimator.ekfblocks_from_log(log, dtype=dtype), B,
+                jax.random.PRNGKey(1), params, dtype=dtype,
+                vo_noise_scale=0.0)
+            _, w_ab, _ = timed(pipe_mk, data_b, eb0, vo, jitter=jit_data)
+            rate_ab = ticks / w_ab
+            extras["pipeline_shared_vo_ticks_per_s"] = round(rate_ab, 0)
+            extras["pipeline_vo_ab_delta_pct"] = round(
+                100.0 * (rate_ab - rate_pipe_mk) / rate_pipe_mk, 1)
+            print(f"  A/B shared-VO-content (same pipeline, vo_b -> vo): "
+                  f"{rate_ab:,.0f} ticks/s "
+                  f"({extras['pipeline_vo_ab_delta_pct']:+.1f}% vs per-lane "
+                  f"vision)", file=sys.stderr)
+        except Exception as e:
+            print(f"vision A/B failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # ---- constrained MHE (velocity box — MheSrb.cpp:272-349 capability) -
     # The |v|<=0.3 box genuinely binds on this log (unconstrained max|v| is

@@ -347,6 +347,8 @@ def _chunk_call(ec, R, Tc, S, dtype, t0, meta, streams, state,
     valid, vo_active, vo_sb, vo_q_s = meta
     gyro, accel, vo_q_l = streams
     state_shapes = [(4,), (4, 4), (R, 3), (R, 3), (R, 4), (R, 4, 4)]
+    # with a SHARED measured quaternion, vo_q_l is a (Tc, 1) dummy riding
+    # SMEM (the kernel never reads it); the real per-lane tensor is VMEM
     in_specs = (
         [sspec()] * 5
         + [vspec((Tc, S, 3)), vspec((Tc, S, 3))]
@@ -416,7 +418,7 @@ def replay(ec, ekf_st, eb, chunk: int = 64, interpret: bool = False):
         vo_q_l = eb.vo_q.astype(dtype)
     else:
         vo_q_s = jnp.asarray(eb.vo_q, dtype)
-        vo_q_l = jnp.zeros((T, S, 4, B), dtype)
+        vo_q_l = jnp.zeros((T, 1), dtype)     # unread SMEM dummy
 
     qs = []
     t0 = ekf_st.t.astype(jnp.int32)

@@ -10,11 +10,17 @@ statistics, and optionally:
   reducing statistics with psum collectives over ICI;
 - runs a covariance tuning sweep (``--sweep``) over process-noise scalings,
   reporting the argmin config — the reference's hand-tuning loop
-  (parameters_go1.yaml noise groups) as one vmapped program.
+  (parameters_go1.yaml noise groups) as one vmapped program;
+- runs a CONSTRAINT-BOUND tuning sweep (``--bound-sweep``): every fleet lane
+  solves the box-constrained MHE under its OWN velocity bound ((s,B)
+  per-lane bounds through the constrained mega-kernel, one compiled
+  program), reporting RMSE-vs-bound — the per-run YAML bound construction
+  of DecentralEst.cpp:222-348 lifted to a Monte-Carlo axis.
 
 Usage:
     python examples/run_fleet.py [--instances 256] [--ticks 400] [--mesh]
-                                 [--sweep] [--cpu] [--yaml PATH]
+                                 [--sweep] [--bound-sweep] [--cpu]
+                                 [--yaml PATH]
 """
 
 import argparse
@@ -35,6 +41,9 @@ def main(argv=None):
                     help="shard the fleet over all visible devices")
     ap.add_argument("--sweep", action="store_true",
                     help="run a 5-point process-noise tuning sweep")
+    ap.add_argument("--bound-sweep", action="store_true",
+                    help="sweep the velocity-box bound across fleet lanes "
+                         "(constrained MHE, per-lane bounds)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -118,7 +127,50 @@ def main(argv=None):
         for s, r in zip(scales, np.asarray(rmses)):
             print(f"  process-noise x{s:<4}: RMSE {float(r):.4f} m/s")
         print(f"sweep argmin: x{scales[int(best)]}")
+
+    if args.bound_sweep:
+        from decentralized_ekf_mhe_tpu.ops import mhe
+
+        s_dim = est_params.dim_state
+        bnds = np.linspace(0.1, 0.5, B)
+        lb_B = np.full((s_dim, B), -np.inf)
+        ub_B = np.full((s_dim, B), np.inf)
+        lb_B[3:6] = -bnds
+        ub_B[3:6] = bnds
+        p_c = dataclasses_replace_params(est_params)
+        c_sw = mhe.make_consts(p_c, dtype, x_lb=lb_B, x_ub=ub_B,
+                               admm_iters=20, use_pallas=on_tpu)
+        sw = jax.jit(batch_lib.make_lanes_fleet_runner(
+            p_c, dtype, use_megakernel=on_tpu, consts=c_sw))
+        t0 = time.time()
+        x_sw, _ = sw(data_b, vo)
+        jax.block_until_ready(x_sw)
+        wall = time.time() - t0
+        v_sw = np.abs(np.asarray(x_sw)[..., 3:6])
+        per_lane_max = v_sw.max(axis=(0, 2))
+        err = np.asarray(x_sw)[T // 2:, :, 3:6] - log.gt_v_s[T // 2:, None]
+        rmse_l = np.sqrt((err ** 2).mean(axis=(0, 2)))
+        ok = bool((per_lane_max <= bnds + 1e-3).all())
+        print(f"bound sweep: |v| box {bnds[0]:.2f}->{bnds[-1]:.2f} across "
+              f"{B} lanes in ONE program, wall={wall:.2f}s (incl. compile); "
+              f"every lane within its own box: {ok}")
+        for q in (0, B // 4, B // 2, 3 * B // 4, B - 1):
+            print(f"  bound {bnds[q]:.3f}: max|v| {per_lane_max[q]:.3f}, "
+                  f"RMSE {rmse_l[q]:.4f} m/s")
     return 0
+
+
+def dataclasses_replace_params(p):
+    import dataclasses
+
+    q = dataclasses.replace(p)
+    q.osqp = dataclasses.replace(p.osqp)   # don't mutate the caller's osqp
+    q.osqp.abs_tol = 1e-6
+    q.osqp.relative_tol = 1e-6
+    q.osqp.rho = 5000.0
+    q.osqp.adapt_rho = False
+    q.osqp.polish = True
+    return q
 
 
 if __name__ == "__main__":

@@ -201,3 +201,21 @@ def test_sharded_pipeline_per_instance_vo(setup):
                                 NamedSharding(mesh, P(None, axes))))
     x_sh, rmse, fleet_mean, fleet_max = runner(db_sh, eb_sh, vo_sh, gt_v)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=2e-5)
+
+
+def test_example_run_fleet_bound_sweep():
+    """The per-lane constraint-bound sweep example runs end-to-end: every
+    lane respects its own box, tight bounds bind."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "examples", "run_fleet.py"),
+         "--cpu", "--instances", "8", "--ticks", "100", "--bound-sweep"],
+        capture_output=True, text=True, timeout=900, cwd=repo, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "every lane within its own box: True" in proc.stdout
