@@ -225,3 +225,33 @@ def test_megakernel_constrained_per_lane_bounds_f64():
     # tightest lane's box binds; loosest lane's solution exceeds it
     assert (np.abs(np.asarray(x_pl[:, 0, 3:6])) >= bnds[0] - 1e-6).any()
     assert (np.abs(np.asarray(x_pl[:, B - 1, 3:6])) > bnds[0]).any()
+
+
+def test_megakernel_constrained_per_instance_vo_f64():
+    """Constrained mega-kernel COMPOSED with fully per-instance VO clocks
+    (each lane its own camera schedule AND the box-ADMM tail) equals the
+    scanned per-instance constrained lanes path at f64."""
+    dtype = jnp.float64
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=5,
+                        foot_swing_std=[1e7] * 3)
+    p.osqp.abs_tol = 1e-8
+    p.osqp.relative_tol = 1e-8
+    log, data_b, vo = _fleet(T=18, B=B, seed=21, dtype=dtype)
+    vo_pi = batch_lib.perturb_vo_batch(vo, B, jax.random.PRNGKey(3), p,
+                                       dtype=dtype, per_instance_timing=True)
+    s = p.dim_state
+    vb = 0.08
+    x_lb = np.full(s, -np.inf); x_lb[3:6] = -vb
+    x_ub = np.full(s, np.inf); x_ub[3:6] = vb
+    c = mhe.make_consts(p, dtype, x_lb=x_lb, x_ub=x_ub, admm_iters=30)
+    data_l = batch_lib.tickdata_to_lanes(data_b)
+
+    x_ref, _ = estimator.run_mhe_lanes(p, data_l, vo=vo_pi, dtype=dtype,
+                                       consts=c)
+    x_mk = jnp.moveaxis(
+        mrk.replay(c, data_l, vo_pi, dtype=dtype, chunk=5, interpret=True),
+        -1, 1)
+    np.testing.assert_allclose(np.asarray(x_mk), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-8)
+    v = np.abs(np.asarray(x_mk[..., 3:6]))
+    assert (v <= vb + 1e-6).all() and (v >= vb - 1e-6).any()
