@@ -22,13 +22,21 @@ round-off; warmup masking is applied by the caller before invoking.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_TILE = 128
+# Lanes per grid step. 128 = one physical VPU lane tile; larger multiples
+# interleave independent per-lane chains in one instruction stream (more ILP
+# for the serial-dependency-bound Schur chains) at the cost of VMEM.
+# MEASURED (v5e, mega-kernel, T=2000/B=1024, 2026-08-21): 256 runs 8.74M
+# ticks/s vs 128's 10.2M — the doubled live-temporary footprint forces
+# spills that outweigh the ILP gain; 128 is the validated default.
+# Overridable for experiments (DEM_LANE_TILE); read once at import.
+LANE_TILE = int(os.environ.get("DEM_LANE_TILE", "128"))
 
 
 def _matmul(A, B):
