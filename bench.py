@@ -657,7 +657,9 @@ def main():
             extras["soak_long_compile_s"] = round(c_L, 1)
             extras["soak_long_ticks_per_s"] = round(Bs * (T_LONG - 1) / w_L, 0)
             print(f"LONG soak: T={T_LONG} compile+first {c_L:.1f}s, wall "
-                  f"{w_L:.1f}s", file=sys.stderr)
+                  f"{w_L:.1f}s (B=8 padded to one 128-lane tile — an "
+                  f"accuracy soak, not a throughput number)",
+                  file=sys.stderr)
             with tempfile.TemporaryDirectory() as td:
                 x64_L, gt_L = _f64_oracle(td, T_o=T_LONG, seed=1)
             tailL = int(T_LONG * 0.95)
