@@ -107,6 +107,10 @@ def main():
     on_tpu = dev.platform not in ("cpu",)
     dtype = jnp.float32
     extras = {}
+    # r05+: T=2000 (was 200 in r01-r04) to amortize the tunnel's flat RTT —
+    # see the module docstring; recorded so artifacts self-document the change
+    extras["bench_T"] = T
+    extras["bench_B"] = int(os.environ.get("BENCH_B", "1024"))
 
     params = _params()
     ekf_params = _ekf_params()

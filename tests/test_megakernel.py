@@ -255,3 +255,20 @@ def test_megakernel_constrained_per_instance_vo_f64():
                                rtol=1e-8, atol=1e-8)
     v = np.abs(np.asarray(x_mk[..., 3:6]))
     assert (v <= vb + 1e-6).all() and (v >= vb - 1e-6).any()
+
+
+def test_megakernel_chol_solve_matches_gj_f64():
+    """The mk_solve='chol' streaming-Schur variant (factor-and-substitute,
+    kept selectable for future hardware) equals the default Gauss-Jordan
+    chain at f64."""
+    dtype = jnp.float64
+    p = EstimatorParams(num_legs=4, leg_odom_type=0, rate=200, N=6)
+    log, data_b, vo = _fleet(T=18, B=B, seed=23, dtype=dtype)
+    c = mhe.make_consts(p, dtype)
+    data_l = batch_lib.tickdata_to_lanes(data_b)
+    x_gj = mrk.replay(c, data_l, vo, dtype=dtype, chunk=6, interpret=True,
+                      mk_solve="gj")
+    x_ch = mrk.replay(c, data_l, vo, dtype=dtype, chunk=6, interpret=True,
+                      mk_solve="chol")
+    np.testing.assert_allclose(np.asarray(x_ch), np.asarray(x_gj),
+                               rtol=1e-9, atol=1e-10)

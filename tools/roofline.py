@@ -288,11 +288,72 @@ def ablation(B=1024, T=200, chunk=64):
     return shares
 
 
+def constrained_sweep(B=1024, T=2000, iters_list=(5, 10, 20, 40)):
+    """Measured cost attribution for the CONSTRAINED mega-kernel: time the
+    per-tick box-ADMM at several iteration budgets (polish on/off); the
+    slope is the per-iteration sweep cost, the intercept is
+    assembly + factorization (+ polish when on). Output is rate-only —
+    quality-vs-budget lives in tools/constrained_budget_study.py."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    params, data_b, vo = _bench_fleet(B, T)
+    from decentralized_ekf_mhe_tpu.ops import mhe
+    from decentralized_ekf_mhe_tpu.parallel import batch as batch_lib
+
+    s = params.dim_state
+    x_lb = np.full(s, -np.inf); x_lb[3:6] = -0.3
+    x_ub = np.full(s, np.inf); x_ub[3:6] = 0.3
+    rows = []
+    for polish in (True, False):
+        for iters in iters_list:
+            params.osqp.abs_tol = 1e-6
+            params.osqp.relative_tol = 1e-6
+            params.osqp.rho = 5000.0
+            params.osqp.adapt_rho = False
+            params.osqp.polish = polish
+            c = mhe.make_consts(params, jnp.float32, x_lb=x_lb, x_ub=x_ub,
+                                admm_iters=iters, use_pallas=True)
+            fn = jax.jit(batch_lib.make_lanes_fleet_runner(
+                params, jnp.float32, use_megakernel=True, consts=c))
+            x, _ = fn(data_b, vo)
+            float(jnp.sum(x[0][-1])) if isinstance(x, tuple) else float(
+                jnp.sum(x[-1]))
+            best = float("inf")
+            for rep in range(3):
+                db = data_b._replace(
+                    accel_b=data_b.accel_b + (rep + 1) * 1e-7)
+                t0 = time.time()
+                x, _ = fn(db, vo)
+                float(jnp.sum(x[-1]))
+                best = min(best, time.time() - t0)
+            per_tick_us = best / (B * (T - 1)) * 1e6 * 128  # per lane-tile
+            rows.append((polish, iters, best, per_tick_us))
+            print(f"polish={int(polish)} iters={iters:3d}: "
+                  f"{B*(T-1)/best:,.0f} solves/s "
+                  f"({per_tick_us:.2f} us/tile-tick)", file=sys.stderr)
+    # least-squares slope over the polish=False rows
+    npf = [(it, r[3]) for r in rows for it in [r[1]] if not r[0]]
+    if len(npf) >= 2:
+        its = np.array([a for a, _ in npf]); ts = np.array([b for _, b in npf])
+        slope, intercept = np.polyfit(its, ts, 1)
+        print(f"per-ADMM-iteration cost {slope:.3f} us/tile-tick; "
+              f"assembly+factor intercept {intercept:.2f} us "
+              f"(polish adds "
+              f"{rows[0][3] - [r for r in rows if not r[0] and r[1] == rows[0][1]][0][3]:.2f} us)",
+              file=sys.stderr)
+    return rows
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--constrained-sweep", action="store_true")
     ap.add_argument("--B", type=int, default=1024)
     ap.add_argument("--T", type=int, default=200)
     ap.add_argument("--rate", type=float, default=None,
@@ -306,6 +367,8 @@ if __name__ == "__main__":
         trace_capture(B=a.B, T=a.T)
     if a.ablate:
         ablation(B=a.B, T=a.T)
-    if not (a.rate or a.sweep or a.trace or a.ablate):
+    if a.constrained_sweep:
+        constrained_sweep(B=a.B, T=a.T)
+    if not (a.rate or a.sweep or a.trace or a.ablate or a.constrained_sweep):
         m = tick_model()
         print(m)
